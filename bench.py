@@ -1,0 +1,148 @@
+"""End-to-end single-knee pipeline benchmark.
+
+Measures the reference's headline workload (SURVEY.md §6, BASELINE.md):
+segmentation (full `UNet` on a 160x384x384 DESS-sized volume, overlap-tiled)
++ atlas registration + probability-map warps onto the atlas grid + FC/TC
+thickness meshes. The reference does this in 148 s on a Colab GPU
+(DaskComputation.ipynb cell 7) => 24.3 knees/hour baseline.
+
+Weights are random (the pretrained checkpoint is a network download); the
+compute graph, shapes and batch sizes are the production configuration.
+The thickness stage runs on anatomically-shaped synthetic probability maps
+(a curved shell -> ~reference-sized meshes, test_all.py:69-70) because
+random-weight probmaps have no surface.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_KNEES_PER_HOUR = 3600.0 / 148.0  # reference Colab GPU pipeline
+
+
+def _shell_probmap(shape_zyx, r_inner=60.0, r_outer=66.0, center=None):
+    """A curved cartilage-like shell (probability ~1 between two radii,
+    limited to a polar cap) on the atlas grid."""
+    d, h, w = shape_zyx
+    c = center or (d * 0.5, h * 0.55, w * 0.5)
+    z, y, x = np.meshgrid(
+        np.arange(d, dtype=np.float32),
+        np.arange(h, dtype=np.float32),
+        np.arange(w, dtype=np.float32),
+        indexing="ij",
+    )
+    rr = np.sqrt(((z - c[0]) * 2.4) ** 2 + (y - c[1]) ** 2 + (x - c[2]) ** 2)
+    shell = np.clip(1.0 - np.abs(rr - (r_inner + r_outer) / 2) / ((r_outer - r_inner) / 2), 0, 1)
+    cap = (y < c[1]).astype(np.float32)  # upper cap only
+    return (shell * cap).astype(np.float32)
+
+
+def build_pipeline():
+    import jax
+    import jax.numpy as jnp
+
+    from oai_analysis_2_tpu.core.image import image_from_array
+    from oai_analysis_2_tpu.engine.registration import register_pair
+    from oai_analysis_2_tpu.engine.segmenter import Segmenter3DInPatchClassWise
+    from oai_analysis_2_tpu.mesh.processing import get_thickness_mesh
+    from oai_analysis_2_tpu.models.gradicon import GradICONConfig
+    from oai_analysis_2_tpu.models.unet3d import NETWORK_SPECS, UNet3D
+    from oai_analysis_2_tpu.ops.intensity import percentile_window
+    from oai_analysis_2_tpu.ops.resample import resample_image
+    from oai_analysis_2_tpu.utils.checkpoint import save_checkpoint
+    import json as _json
+    import tempfile
+    from pathlib import Path
+
+    tmp = Path(tempfile.mkdtemp(prefix="oai_bench_"))
+    (tmp / "train_config.json").write_text(
+        _json.dumps(
+            {
+                "patch_size": [128, 128, 32],
+                "model": "UNet",
+                "model_setting": {"in_channels": 1, "n_classes": 2, "bias": False, "BN": False},
+            }
+        )
+    )
+    model = UNet3D(NETWORK_SPECS["UNet"])
+    params = model.init(jax.random.PRNGKey(0))
+    save_checkpoint({"params": params, "epoch": 600}, False, tmp, name="seg.npz")
+
+    segmenter = Segmenter3DInPatchClassWise(
+        mode="pred",
+        config={
+            "ckpoint_path": str(tmp / "seg.npz"),
+            "training_config_file": str(tmp / "train_config.json"),
+            "batch_size": 4,
+            "overlap_size": (16, 16, 8),
+            "compute_dtype": "bfloat16",
+        },
+    )
+
+    rng = np.random.default_rng(0)
+    # DESS-like knee volume (z,y,x) and the 160x384x384 atlas grid of the
+    # reference (FullDemo cell 7)
+    knee_np = rng.uniform(0.0, 1200.0, (160, 384, 384)).astype(np.float32)
+    knee = image_from_array(knee_np, spacing=(0.36, 0.36, 0.7))
+    atlas = image_from_array(
+        rng.uniform(0, 1, (160, 384, 384)).astype(np.float32), spacing=(0.36, 0.36, 0.7)
+    )
+    fc_prob = image_from_array(_shell_probmap((160, 384, 384)), spacing=(0.36, 0.36, 0.7))
+    tc_prob = image_from_array(
+        _shell_probmap((160, 384, 384), 40.0, 45.0, (80, 230, 192)),
+        spacing=(0.36, 0.36, 0.7),
+    )
+    reg_cfg = GradICONConfig()
+
+    def one_knee():
+        # 1) preprocess + segment
+        pre = percentile_window(knee, 0.1, 99.9, 0.0, 1.0)
+        fc, tc = segmenter.segment(pre, if_output_prob_map=True)
+        jax.block_until_ready((fc.data, tc.data))
+        # 2) register knee -> atlas (instance optimization)
+        phi_ab, _ = register_pair(
+            pre, atlas, config=reg_cfg, instance_scales=(8, 4, 2), instance_steps=40
+        )
+        jax.block_until_ready(phi_ab.field)
+        # 3) warp probability maps onto the atlas grid
+        fc_w = resample_image(fc_prob, atlas, displacement=phi_ab)
+        tc_w = resample_image(tc_prob, atlas, displacement=phi_ab)
+        jax.block_until_ready((fc_w.data, tc_w.data))
+        # 4) thickness meshes
+        fc_inner, _ = get_thickness_mesh(fc_w, mesh_type="FC")
+        tc_inner, _ = get_thickness_mesh(tc_w, mesh_type="TC")
+        return fc_inner, tc_inner
+
+    return one_knee
+
+
+def main():
+    t_setup = time.time()
+    one_knee = build_pipeline()
+    # warm-up knee: pays all compilations
+    one_knee()
+    warm = time.time() - t_setup
+
+    t0 = time.time()
+    fc_inner, tc_inner = one_knee()
+    dt = time.time() - t0
+
+    knees_per_hour = 3600.0 / dt
+    result = {
+        "metric": "single-knee pipeline (seg+reg+warp+thickness), steady-state",
+        "value": round(knees_per_hour, 2),
+        "unit": "knees/hour/chip",
+        "vs_baseline": round(knees_per_hour / BASELINE_KNEES_PER_HOUR, 2),
+        "seconds_per_knee": round(dt, 2),
+        "warmup_seconds": round(warm, 1),
+        "fc_mesh_points": int(fc_inner.n_points),
+        "tc_mesh_points": int(tc_inner.n_points),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

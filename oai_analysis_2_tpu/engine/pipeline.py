@@ -1,0 +1,120 @@
+"""The full single-knee pipeline: segment ∥ register -> warp -> thickness.
+
+This is the static, compiled equivalent of the reference's per-knee Dask
+delayed DAG (dask_processing.py:46-189; DaskComputation.ipynb cell 5):
+the reference ships pickled ITK objects between processes, while here each
+stage feeds the next on-device, and per-stage wall times are recorded.
+
+Use with parallel.cohort.CohortRunner for cohort fan-out.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+from oai_analysis_2_tpu.core.image import Image
+from oai_analysis_2_tpu.core.nifti import read_nifti
+from oai_analysis_2_tpu.engine.registration import register_pair
+from oai_analysis_2_tpu.engine.segmenter import Segmenter3DInPatchClassWise
+from oai_analysis_2_tpu.mesh.processing import get_thickness_mesh
+from oai_analysis_2_tpu.mesh.types import Mesh
+from oai_analysis_2_tpu.models.gradicon import GradICONConfig
+from oai_analysis_2_tpu.ops.intensity import percentile_window
+from oai_analysis_2_tpu.ops.resample import resample_image
+from oai_analysis_2_tpu.utils.profiling import StageTimer
+
+
+@dataclasses.dataclass
+class KneeResult:
+    fc_probmap: Image
+    tc_probmap: Image
+    fc_inner: Mesh
+    fc_outer: Mesh
+    tc_inner: Mesh
+    tc_outer: Mesh
+    timings: dict
+
+
+class KneePipeline:
+    """segment + register + warp + thickness for one knee volume."""
+
+    def __init__(
+        self,
+        segmenter: Segmenter3DInPatchClassWise,
+        atlas_image: Image,
+        registration_config: Optional[GradICONConfig] = None,
+        instance_scales: Tuple[int, ...] = (8, 4, 2),
+        instance_steps: int = 60,
+        normalize: bool = True,
+    ):
+        self.segmenter = segmenter
+        self.atlas = atlas_image
+        self.reg_config = registration_config or GradICONConfig()
+        self.instance_scales = instance_scales
+        self.instance_steps = instance_steps
+        self.normalize = normalize
+
+    def run(self, image: Image) -> KneeResult:
+        import jax
+
+        timer = StageTimer()
+        with timer.stage("preprocess"):
+            pre = percentile_window(image, 0.1, 99.9, 0.0, 1.0) if self.normalize else image
+
+        with timer.stage("segment"):
+            fc, tc = self.segmenter.segment(pre, if_output_prob_map=True)
+            jax.block_until_ready((fc.data, tc.data))
+
+        with timer.stage("register"):
+            phi_ab, _ = register_pair(
+                pre,
+                self.atlas,
+                config=self.reg_config,
+                instance_scales=self.instance_scales,
+                instance_steps=self.instance_steps,
+            )
+            jax.block_until_ready(phi_ab.field)
+
+        with timer.stage("warp"):
+            fc_w = resample_image(fc, self.atlas, displacement=phi_ab)
+            tc_w = resample_image(tc, self.atlas, displacement=phi_ab)
+            jax.block_until_ready((fc_w.data, tc_w.data))
+
+        with timer.stage("thickness_fc"):
+            fc_inner, fc_outer = get_thickness_mesh(fc_w, mesh_type="FC")
+        with timer.stage("thickness_tc"):
+            tc_inner, tc_outer = get_thickness_mesh(tc_w, mesh_type="TC")
+
+        return KneeResult(
+            fc_probmap=fc_w,
+            tc_probmap=tc_w,
+            fc_inner=fc_inner,
+            fc_outer=fc_outer,
+            tc_inner=tc_inner,
+            tc_outer=tc_outer,
+            timings=timer.report(),
+        )
+
+    def run_path(self, nifti_path, output_dir: Optional[Path] = None) -> dict:
+        """Cohort-runner-compatible wrapper: reads a NIfTI file, writes mesh
+        results, returns JSON-serializable metadata."""
+        image = read_nifti(nifti_path)
+        result = self.run(image)
+        meta = {
+            "input": str(nifti_path),
+            "timings": result.timings,
+            "fc_points": result.fc_inner.n_points,
+            "tc_points": result.tc_inner.n_points,
+        }
+        if output_dir is not None:
+            output_dir = Path(output_dir)
+            output_dir.mkdir(parents=True, exist_ok=True)
+            stem = Path(str(nifti_path)).name.split(".")[0]
+            result.fc_inner.save_vtk(output_dir / f"{stem}_FC_inner.vtk")
+            result.tc_inner.save_vtk(output_dir / f"{stem}_TC_inner.vtk")
+            meta["outputs"] = str(output_dir)
+        return meta

@@ -1,0 +1,163 @@
+"""Registration engine — physical-space facade over the GradICON models.
+
+Replaces the reference's `ICON_Registration` (oai_analysis/registration.py:18-27)
+and `icon_registration.itk_wrapper.register_pair`: images are resampled onto a
+fixed registration grid, registered with either a trained GradICON network or
+instance optimization, and the result is returned as a physical-space
+`DisplacementField` consumable by `ops.resample.resample_image` — exactly how
+the reference consumes `phi_AB` via `itk.resample_image_filter`
+(dask_processing.py:95-111, test/test_all.py:43-51).
+
+Contract (matching the reference's usage): `register(image_A, image_B)`
+returns the transform mapping image_B-space physical points into image_A
+space, i.e. the pullback for warping A-grid data (probability maps) onto
+B's (atlas) grid.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from oai_analysis_2_tpu.core.image import Image
+from oai_analysis_2_tpu.models.gradicon import (
+    GradICON,
+    GradICONConfig,
+    identity_map,
+    register_pair_instance,
+)
+from oai_analysis_2_tpu.ops.resample import DisplacementField, resample_image
+
+
+def _net_grid_reference(image: Image, grid_shape_zyx) -> Image:
+    """An Image describing the registration grid over `image`'s physical
+    extent: same origin/direction, spacing scaled so grid corners coincide
+    with the source volume's corners."""
+    src = np.asarray(image.data.shape, np.float64)  # z,y,x
+    dst = np.asarray(grid_shape_zyx, np.float64)
+    spacing_zyx = np.asarray(image.spacing)[::-1] * (src - 1.0) / (dst - 1.0)
+    return Image(
+        data=jnp.zeros(tuple(int(s) for s in grid_shape_zyx), jnp.float32),
+        origin=image.origin,
+        spacing=jnp.asarray(spacing_zyx[::-1].copy(), jnp.float32),
+        direction=image.direction,
+    )
+
+
+def _normalized_to_physical(grid: Image, phi_zyx: jax.Array) -> jax.Array:
+    """Map normalized [0,1]^3 zyx coordinate fields to physical points (xyz)."""
+    shape = np.asarray(grid.data.shape, np.float32)
+    idx_zyx = phi_zyx * jnp.asarray(shape - 1.0)
+    idx_xyz = idx_zyx[..., ::-1]
+    return grid.indices_to_physical(idx_xyz)
+
+
+def _maps_to_displacement(
+    phi_ba: jax.Array, grid_a: Image, grid_b: Image
+) -> DisplacementField:
+    """Turn the normalized map phi_BA (B-grid coords -> A-grid coords) into a
+    physical-space displacement field on B's registration grid."""
+    ident = identity_map(grid_b.data.shape)
+    p_b = _normalized_to_physical(grid_b, ident)
+    p_a = _normalized_to_physical(grid_a, phi_ba)
+    return DisplacementField(
+        field=(p_a - p_b).astype(jnp.float32),
+        origin=grid_b.origin,
+        spacing=grid_b.spacing,
+        direction=grid_b.direction,
+    )
+
+
+def register_pair(
+    image_a: Image,
+    image_b: Image,
+    model: Optional[GradICON] = None,
+    params: Optional[List[dict]] = None,
+    config: Optional[GradICONConfig] = None,
+    instance_steps: int = 60,
+    instance_scales: Tuple[int, ...] = (8, 4, 2),
+    lambda_reg: float = 0.5,
+) -> Tuple[DisplacementField, DisplacementField]:
+    """Register two physical-space images; returns (phi_AB, phi_BA) as
+    displacement fields. phi_AB warps A-grid data onto B's grid (it maps
+    B-space points into A space) — mirroring the reference's return
+    convention where `register_pair(model, A, B)[0]` feeds
+    `resample(prob_on_A, output_grid=B)`."""
+    cfg = config or GradICONConfig()
+    grid_a = _net_grid_reference(image_a, cfg.grid_shape)
+    grid_b = _net_grid_reference(image_b, cfg.grid_shape)
+    a = resample_image(image_a, grid_a).data.astype(jnp.float32)
+    b = resample_image(image_b, grid_b).data.astype(jnp.float32)
+
+    if model is not None and params is not None:
+        # Trained-network path: phi_ab warps B onto A's grid.
+        nmap_ab, nmap_ba = model.both_maps(params, a, b)
+    else:
+        nmap_ab, nmap_ba = register_pair_instance(
+            a,
+            b,
+            scales=instance_scales,
+            steps_per_scale=instance_steps,
+            lncc_window=cfg.lncc_window,
+            lambda_reg=lambda_reg,
+        )
+
+    # nmap_ab: A-grid coords -> B-grid coords (pullback of B onto A).
+    disp_ab_on_b = _maps_to_displacement(nmap_ba, grid_a, grid_b)
+    disp_ba_on_a = _maps_to_displacement(nmap_ab, grid_b, grid_a)
+    # Naming per reference convention: phi_AB is used to pull A-data onto B.
+    return disp_ab_on_b, disp_ba_on_a
+
+
+class ICON_Registration:
+    """API-parity facade (reference registration.py:18-27).
+
+    Modes:
+      * "instance" (default): per-pair optimization, no weights needed;
+      * "network": trained GradICON forward pass (+ optional instance
+        fine-tuning steps), with `load_params`/`train` to obtain weights.
+    """
+
+    def __init__(
+        self,
+        mode: str = "instance",
+        config: Optional[GradICONConfig] = None,
+        instance_steps: int = 60,
+        instance_scales: Tuple[int, ...] = (8, 4, 2),
+        verbose: bool = False,
+    ):
+        self.mode = mode
+        self.config = config or GradICONConfig()
+        self.instance_steps = instance_steps
+        self.instance_scales = instance_scales
+        self.verbose = verbose
+        self.model: Optional[GradICON] = None
+        self.params: Optional[List[dict]] = None
+        if mode == "network":
+            self.model = GradICON(self.config)
+
+    def load_params(self, params: List[dict]) -> None:
+        self.params = params
+
+    def register(self, fixed_image: Image, moving_image: Image) -> DisplacementField:
+        """Returns phi_fixed_moving: the transform used to warp fixed-grid
+        data onto the moving (atlas) grid — reference registration.py:22-27."""
+        if self.verbose:
+            a = np.asarray(fixed_image.data)
+            b = np.asarray(moving_image.data)
+            print("fixed range", a.min(), a.max())
+            print("moving range", b.min(), b.max())
+        phi_ab, _ = register_pair(
+            fixed_image,
+            moving_image,
+            model=self.model if self.mode == "network" else None,
+            params=self.params,
+            config=self.config,
+            instance_steps=self.instance_steps,
+            instance_scales=self.instance_scales,
+        )
+        return phi_ab

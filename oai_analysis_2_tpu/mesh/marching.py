@@ -1,0 +1,219 @@
+"""Iso-surface extraction: vectorized marching tetrahedra.
+
+Replaces skimage.measure.marching_cubes (reference mesh_processing.py:332)
+and itk-cuberille (mesh_processing.py:343-349). Design choice: marching
+TETRAHEDRA on the Kuhn 6-tet cube decomposition instead of classic marching
+cubes — the case table is generated programmatically at import (16 tet
+configurations, orientation resolved numerically), eliminating the
+hand-typed 256-entry tables and their topological ambiguities; the output
+is always a watertight, consistently-oriented surface. Vertices lie on tet
+edges with linear interpolation, giving the same O(h^2) geometric accuracy
+as marching cubes. Correctness is pinned by phantom tests (watertightness,
+Euler characteristic, analytic sphere area/volume — tests/test_marching.py).
+
+Conventions matching the reference pipeline:
+  * the input array is indexed [x, y, z] (the reference swaps axes before
+    extraction, mesh_processing.py:329) and vertex coordinates come out as
+    index * spacing (xyz), exactly like skimage with `spacing=`;
+  * `gradient_direction="ascent"` orientation: triangle normals
+    (right-hand rule) point toward HIGHER field values, i.e. into the
+    segmented object — the reference's setting (mesh_processing.py:333).
+
+The per-cube corner gather + interpolation is plain vectorized array math —
+it runs in numpy on host by default (active cubes are ~1% of the volume;
+compaction is host-side), with the active-mask reduction jittable on TPU.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+from oai_analysis_2_tpu.mesh.types import Mesh
+
+# -- Kuhn decomposition: 6 tetrahedra per cube, all sharing diagonal (0, 7).
+# Corner index = x + 2y + 4z over the unit cube.
+_CORNER_OFFSETS = np.array(
+    [[x, y, z] for z in (0, 1) for y in (0, 1) for x in (0, 1)]
+)[:, :]  # index = x + 2y + 4z -> offsets via bit tricks below
+_CORNER_OFFSETS = np.array([[i & 1, (i >> 1) & 1, (i >> 2) & 1] for i in range(8)])
+
+_TETS = np.array(
+    [
+        [0, 1, 3, 7],  # path x, y, z
+        [0, 1, 5, 7],  # x, z, y
+        [0, 2, 3, 7],  # y, x, z
+        [0, 2, 6, 7],  # y, z, x
+        [0, 4, 5, 7],  # z, x, y
+        [0, 4, 6, 7],  # z, y, x
+    ],
+    np.int64,
+)
+
+# The 6 edges of a tetrahedron as (local vertex, local vertex).
+_TET_EDGES = np.array(
+    [[0, 1], [0, 2], [0, 3], [1, 2], [1, 3], [2, 3]], np.int64
+)
+
+
+def _build_case_table() -> Tuple[np.ndarray, np.ndarray]:
+    """For each of 16 inside-masks over tet vertices, up to 2 triangles, each
+    triangle = 3 tet-edge indices. Orientation: normal toward the inside
+    (higher-value) vertices, fixed numerically on a canonical tet."""
+    # canonical positively-oriented tet
+    pos = np.array([[0.0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]])
+
+    def edge_index(a, b):
+        for ei, (u, v) in enumerate(_TET_EDGES):
+            if {a, b} == {u, v}:
+                return ei
+        raise AssertionError
+
+    tris_table = -np.ones((16, 2, 3), np.int64)
+    for case in range(1, 15):
+        inside = [v for v in range(4) if case >> v & 1]
+        outside = [v for v in range(4) if not case >> v & 1]
+        tris = []
+        if len(inside) == 1:
+            a = inside[0]
+            tris.append([edge_index(a, b) for b in outside])
+        elif len(inside) == 3:
+            a = outside[0]
+            tris.append([edge_index(a, b) for b in inside])
+        else:  # 2 in / 2 out -> quad across 4 cut edges
+            a, b = inside
+            c, d = outside
+            quad = [edge_index(a, c), edge_index(a, d), edge_index(b, d), edge_index(b, c)]
+            tris.append([quad[0], quad[1], quad[2]])
+            tris.append([quad[0], quad[2], quad[3]])
+        # numeric orientation fix: midpoints of cut edges, normal toward inside
+        inside_center = pos[inside].mean(axis=0)
+        for t in tris:
+            mids = np.array([(pos[_TET_EDGES[e][0]] + pos[_TET_EDGES[e][1]]) / 2 for e in t])
+            n = np.cross(mids[1] - mids[0], mids[2] - mids[0])
+            if np.dot(n, inside_center - mids.mean(axis=0)) < 0:
+                t[1], t[2] = t[2], t[1]
+        for ti, t in enumerate(tris):
+            tris_table[case, ti] = t
+
+    n_tris = np.array([0] + [1] * 3 + [2] * 0, np.int64)  # filled below
+    counts = np.zeros(16, np.int64)
+    for case in range(16):
+        counts[case] = int((tris_table[case, :, 0] >= 0).sum())
+    return tris_table, counts
+
+
+_TRIS_TABLE, _TRI_COUNTS = _build_case_table()
+
+# chirality of each Kuhn tet (winding flip for negatively-oriented tets)
+_TET_PARITY = np.array(
+    [
+        int(np.sign(np.linalg.det(
+            (_CORNER_OFFSETS[_TETS[t, 1:]] - _CORNER_OFFSETS[_TETS[t, 0]]).astype(float)
+        )))
+        for t in range(6)
+    ],
+    np.int64,
+)
+
+
+def marching_tetrahedra(
+    volume: np.ndarray,
+    level: float = 0.5,
+    spacing: Tuple[float, float, float] = (1.0, 1.0, 1.0),
+) -> Mesh:
+    """Extract the `level` iso-surface of a 3D array indexed [x, y, z].
+
+    Returns a Mesh with vertices in spacing-scaled index coordinates (xyz),
+    normals (implied by winding) pointing toward higher values ("ascent").
+    """
+    vol = np.ascontiguousarray(np.asarray(volume, np.float32))
+    nx, ny, nz = vol.shape
+    if min(nx, ny, nz) < 2:
+        return Mesh(np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32))
+
+    inside = vol > level
+
+    # active cubes: any corner differs from corner 0
+    occ = inside[:-1, :-1, :-1]
+    active = np.zeros((nx - 1, ny - 1, nz - 1), bool)
+    for ci in range(1, 8):
+        ox, oy, oz = _CORNER_OFFSETS[ci]
+        corner = inside[ox : nx - 1 + ox, oy : ny - 1 + oy, oz : nz - 1 + oz]
+        active |= corner != occ
+    cx, cy, cz = np.nonzero(active)
+    if len(cx) == 0:
+        return Mesh(np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32))
+
+    # gather 8 corner values and global corner ids per active cube
+    stride_y, stride_z = nz, 1  # linear id = x*ny*nz + y*nz + z
+    base_id = (cx * ny + cy) * nz + cz
+    corner_ids = np.empty((len(cx), 8), np.int64)
+    corner_vals = np.empty((len(cx), 8), np.float32)
+    for ci in range(8):
+        ox, oy, oz = _CORNER_OFFSETS[ci]
+        corner_ids[:, ci] = ((cx + ox) * ny + (cy + oy)) * nz + (cz + oz)
+        corner_vals[:, ci] = vol[cx + ox, cy + oy, cz + oz]
+
+    # per-tet processing, fully vectorized over (cube, tet)
+    tet_vert_local = _TETS  # (6, 4) cube-corner index per tet vertex
+    vals = corner_vals[:, tet_vert_local]  # (M, 6, 4)
+    ids = corner_ids[:, tet_vert_local]  # (M, 6, 4)
+    case = ((vals > level) << np.arange(4)).sum(axis=-1)  # (M, 6)
+
+    tri_edges = _TRIS_TABLE[case]  # (M, 6, 2, 3) tet-edge index or -1
+    valid = tri_edges[..., 0] >= 0  # (M, 6, 2)
+
+    m, t, k = np.nonzero(valid)
+    edges = tri_edges[m, t, k]  # (T, 3) tet-edge indices
+    flip = _TET_PARITY[t] < 0
+    # winding flip for mirrored tets
+    e1 = edges[:, 1].copy()
+    e2 = edges[:, 2].copy()
+    edges[flip, 1] = e2[flip]
+    edges[flip, 2] = e1[flip]
+
+    ev = _TET_EDGES[edges]  # (T, 3, 2) local tet-vertex pairs
+    tet_ids = ids[m, t]  # (T, 4) global corner ids of the tet
+    tet_vals = vals[m, t]  # (T, 4)
+
+    ga = np.take_along_axis(tet_ids, ev[:, :, 0], axis=1)  # (T, 3)
+    gb = np.take_along_axis(tet_ids, ev[:, :, 1], axis=1)
+    va = np.take_along_axis(tet_vals, ev[:, :, 0], axis=1)
+    vb = np.take_along_axis(tet_vals, ev[:, :, 1], axis=1)
+
+    # dedup edge-vertices by global (min, max) corner-id key
+    lo = np.minimum(ga, gb)
+    hi = np.maximum(ga, gb)
+    keys = (lo.astype(np.int64) * (nx * ny * nz) + hi).reshape(-1)
+    uniq_keys, faces_flat = np.unique(keys, return_inverse=True)
+    faces_flat = faces_flat.reshape(-1)
+    faces = faces_flat.reshape(-1, 3).astype(np.int32)
+
+    # interpolate each unique edge-vertex
+    first = np.zeros(len(uniq_keys), np.int64)
+    first[faces_flat] = np.arange(keys.size)  # any representative occurrence
+    ga_f, gb_f = ga.reshape(-1)[first], gb.reshape(-1)[first]
+    va_f, vb_f = va.reshape(-1)[first], vb.reshape(-1)[first]
+    denom = vb_f - va_f
+    tvals = np.where(np.abs(denom) > 1e-20, (level - va_f) / np.where(denom == 0, 1, denom), 0.5)
+    tvals = np.clip(tvals, 0.0, 1.0)
+
+    def id_to_xyz(gid):
+        x = gid // (ny * nz)
+        rem = gid % (ny * nz)
+        return np.stack([x, rem // nz, rem % nz], axis=-1).astype(np.float32)
+
+    pa = id_to_xyz(ga_f)
+    pb = id_to_xyz(gb_f)
+    verts = pa + tvals[:, None] * (pb - pa)
+    verts *= np.asarray(spacing, np.float32)[None, :]
+
+    # drop degenerate faces (two identical vertex ids)
+    good = (
+        (faces[:, 0] != faces[:, 1])
+        & (faces[:, 1] != faces[:, 2])
+        & (faces[:, 0] != faces[:, 2])
+    )
+    return Mesh(verts, faces[good])

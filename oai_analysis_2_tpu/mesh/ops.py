@@ -1,0 +1,229 @@
+"""Mesh geometry kernels: normals, centroids, Laplacian smoothing,
+point-to-surface distance, nearest-neighbor attribute transfer.
+
+TPU replacements for (reference call sites):
+  * trimesh.face_normals / per-face centroid loops — mesh_processing.py:26-46
+    (the reference's Python per-face loop at 33-39 is a known hot spot);
+  * vtkSmoothPolyDataFilter — mesh_processing.py:298-306;
+  * vtkDistancePolyDataFilter (unsigned, both directions) —
+    mesh_processing.py:310-321: distance is point-to-TRIANGLE (exact closest
+    point on the other surface), not point-to-point;
+  * vtkPointInterpolator with closest-point null strategy —
+    mesh_processing.py:400-407;
+  * vtkPolyDataNormals (cross-oracle in test/test_mesh_processing.py:42-54).
+
+The distance kernel is brute-force pairwise (points x triangles) evaluated
+in fixed-size tiles under jit — at OAI mesh sizes (~20-65k points) this is
+a few hundred GFLOP, ideal VPU work, far faster than a host BVH.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from oai_analysis_2_tpu.mesh.types import Mesh
+
+# -- normals / centroids ------------------------------------------------------------
+
+
+def face_centroids(mesh: Mesh) -> np.ndarray:
+    """(F, 3) per-face centroid (reference get_cell_centroid)."""
+    tri = mesh.triangles()
+    return tri.mean(axis=1)
+
+
+def face_normals(mesh: Mesh, normalized: bool = True) -> np.ndarray:
+    """(F, 3) per-face normals by right-hand winding (reference
+    get_cell_normals via trimesh)."""
+    tri = mesh.triangles()
+    n = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    if normalized:
+        norm = np.linalg.norm(n, axis=1, keepdims=True)
+        n = n / np.maximum(norm, 1e-20)
+    return n
+
+
+# -- Laplacian smoothing ------------------------------------------------------------
+
+
+def _adjacency(mesh: Mesh):
+    """Symmetric edge list (src, dst) and per-vertex degree; boundary vertices
+    restricted to boundary neighbors (vtkSmoothPolyDataFilter's boundary
+    smoothing behavior)."""
+    from oai_analysis_2_tpu import native
+
+    ne = native.mesh_edges(mesh.faces)
+    if ne is not None:
+        uniq, is_b = ne
+        uniq = uniq.astype(np.int64)
+        boundary_edges = uniq[is_b]
+    else:
+        f = mesh.faces.astype(np.int64)
+        edges = np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]], axis=0)
+        und = np.sort(edges, axis=1)
+        uniq, counts = np.unique(und, axis=0, return_counts=True)
+        boundary_edges = uniq[counts == 1]
+    boundary_pts = np.unique(boundary_edges)
+    is_boundary = np.zeros(mesh.n_points, bool)
+    is_boundary[boundary_pts] = True
+
+    src = np.concatenate([uniq[:, 0], uniq[:, 1]])
+    dst = np.concatenate([uniq[:, 1], uniq[:, 0]])
+    # boundary vertices average only over boundary neighbors
+    b_src = np.concatenate([boundary_edges[:, 0], boundary_edges[:, 1]])
+    b_dst = np.concatenate([boundary_edges[:, 1], boundary_edges[:, 0]])
+    interior = ~is_boundary[src]
+    src = np.concatenate([src[interior], b_src])
+    dst = np.concatenate([dst[interior], b_dst])
+    deg = np.bincount(src, minlength=mesh.n_points).astype(np.float32)
+    return src.astype(np.int32), dst.astype(np.int32), deg
+
+
+@partial(jax.jit, static_argnames=("num_iterations", "n_points"))
+def _smooth_loop(verts, src, dst, deg, num_iterations: int, n_points: int, relaxation):
+    inv_deg = jnp.where(deg > 0, 1.0 / jnp.maximum(deg, 1.0), 0.0)[:, None]
+    movable = (deg > 0)[:, None]
+
+    def body(_, v):
+        nb_sum = jax.ops.segment_sum(v[dst], src, num_segments=n_points)
+        avg = nb_sum * inv_deg
+        return jnp.where(movable, v + relaxation * (avg - v), v)
+
+    return jax.lax.fori_loop(0, num_iterations, body, verts)
+
+
+def smooth_mesh(mesh: Mesh, num_iterations: int = 150, relaxation: float = 0.01) -> Mesh:
+    """Laplacian smoothing, vtkSmoothPolyDataFilter defaults (iterations from
+    caller, relaxation 0.01) — reference mesh_processing.py:298-306."""
+    if mesh.n_points == 0:
+        return mesh
+    src, dst, deg = _adjacency(mesh)
+    out = _smooth_loop(
+        jnp.asarray(mesh.vertices),
+        jnp.asarray(src),
+        jnp.asarray(dst),
+        jnp.asarray(deg),
+        int(num_iterations),
+        int(mesh.n_points),
+        jnp.float32(relaxation),
+    )
+    res = mesh.copy()
+    res.vertices = np.asarray(out)
+    return res
+
+
+# -- exact point-to-triangle distance ------------------------------------------------
+
+
+def _point_triangle_dist2(p, a, b, c):
+    """Squared distance from point p to triangle (a, b, c). Branchless:
+    min(plane distance if the projection is inside, 3 edge distances)."""
+    ab = b - a
+    ac = c - a
+    ap = p - a
+    n = jnp.cross(ab, ac)
+    nn = jnp.sum(n * n)
+
+    # barycentric coordinates of the plane projection
+    d1 = jnp.sum(jnp.cross(b - p, c - p) * n)
+    d2 = jnp.sum(jnp.cross(c - p, a - p) * n)
+    d3 = jnp.sum(jnp.cross(a - p, b - p) * n)
+    inside = (d1 >= 0) & (d2 >= 0) & (d3 >= 0) & (nn > 1e-30)
+    t = jnp.sum(ap * n)
+    plane_d2 = t * t / jnp.maximum(nn, 1e-30)
+
+    def seg_d2(p, u, v):
+        uv = v - u
+        tt = jnp.clip(jnp.sum((p - u) * uv) / jnp.maximum(jnp.sum(uv * uv), 1e-30), 0.0, 1.0)
+        d = p - (u + tt * uv)
+        return jnp.sum(d * d)
+
+    edge_d2 = jnp.minimum(seg_d2(p, a, b), jnp.minimum(seg_d2(p, b, c), seg_d2(p, c, a)))
+    return jnp.where(inside, plane_d2, edge_d2)
+
+
+def _min_dist2_points_to_tris(points, tri_a, tri_b, tri_c):
+    """(P,3) x (F,3)x3 -> (P,) min squared distance, vmapped both ways."""
+    def one_point(p):
+        d2 = jax.vmap(lambda a, b, c: _point_triangle_dist2(p, a, b, c))(tri_a, tri_b, tri_c)
+        return jnp.min(d2)
+
+    return jax.vmap(one_point)(points)
+
+
+@partial(jax.jit, static_argnames=("point_chunk",))
+def _surface_distance_impl(points, tri_a, tri_b, tri_c, point_chunk: int):
+    n = points.shape[0]
+    pad = (-n) % point_chunk
+    pts = jnp.pad(points, ((0, pad), (0, 0)))
+    chunks = pts.reshape(-1, point_chunk, 3)
+
+    def step(_, chunk):
+        return None, _min_dist2_points_to_tris(chunk, tri_a, tri_b, tri_c)
+
+    _, d2 = jax.lax.scan(step, None, chunks)
+    return jnp.sqrt(d2.reshape(-1)[:n])
+
+
+def distance_to_surface(points: np.ndarray, target: Mesh, point_chunk: int = 2048) -> np.ndarray:
+    """Unsigned distance from each point to the closest point on `target`'s
+    surface (exact point-to-triangle)."""
+    if target.n_cells == 0 or len(points) == 0:
+        return np.zeros(len(points), np.float32)
+    tri = jnp.asarray(target.triangles())
+    d = _surface_distance_impl(
+        jnp.asarray(points, jnp.float32), tri[:, 0], tri[:, 1], tri[:, 2],
+        min(point_chunk, max(64, len(points))),
+    )
+    return np.asarray(d)
+
+
+def get_distance(inner_mesh: Mesh, outer_mesh: Mesh):
+    """Bidirectional unsigned surface distance — the thickness kernel
+    (reference get_distance, mesh_processing.py:310-321). Returns the two
+    meshes with per-point `point_data` distances, like
+    vtkDistancePolyDataFilter with SignedDistanceOff + ComputeSecondDistance."""
+    inner = inner_mesh.copy()
+    outer = outer_mesh.copy()
+    inner.point_data = distance_to_surface(inner.vertices, outer_mesh)
+    outer.point_data = distance_to_surface(outer.vertices, inner_mesh)
+    return inner, outer
+
+
+# -- nearest-neighbor attribute transfer ----------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def _nn_indices(query, source, chunk: int):
+    n = query.shape[0]
+    pad = (-n) % chunk
+    q = jnp.pad(query, ((0, pad), (0, 0)))
+    chunks = q.reshape(-1, chunk, 3)
+
+    def step(_, qc):
+        d2 = jnp.sum((qc[:, None, :] - source[None, :, :]) ** 2, axis=-1)
+        return None, jnp.argmin(d2, axis=1)
+
+    _, idx = jax.lax.scan(step, None, chunks)
+    return idx.reshape(-1)[:n]
+
+
+def map_attributes(source_mesh: Mesh, target_mesh: Mesh) -> Mesh:
+    """Transfer per-point scalars from source to target by closest point
+    (reference map_attributes, mesh_processing.py:400-407)."""
+    if source_mesh.point_data is None:
+        raise ValueError("source mesh has no point_data to transfer")
+    idx = np.asarray(
+        _nn_indices(
+            jnp.asarray(target_mesh.vertices, jnp.float32),
+            jnp.asarray(source_mesh.vertices, jnp.float32),
+            2048,
+        )
+    )
+    out = target_mesh.copy()
+    out.point_data = np.asarray(source_mesh.point_data)[idx]
+    return out

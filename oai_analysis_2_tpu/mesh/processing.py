@@ -1,0 +1,110 @@
+"""Top-level mesh/thickness API — the reference `mesh_processing.py` surface.
+
+Function-for-function parity with the reference (file:line cited per
+function); geometry containers are plain `Mesh` structs instead of the
+itk/vtk/trimesh triple, and every hot kernel (smoothing, clustering,
+distance, attribute transfer) runs on TPU via the ops modules.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+from oai_analysis_2_tpu.core.image import Image
+from oai_analysis_2_tpu.mesh.components import filter_small_components
+from oai_analysis_2_tpu.mesh.marching import marching_tetrahedra
+from oai_analysis_2_tpu.mesh.ops import (
+    face_centroids,
+    face_normals,
+    get_distance,
+    map_attributes,
+    smooth_mesh,
+)
+from oai_analysis_2_tpu.mesh.projection import (
+    get_cylinder,
+    get_projection_from_circle_and_vertice,
+    project_thickness,
+)
+from oai_analysis_2_tpu.mesh.split import (
+    split_femoral_cartilage_surface,
+    split_mesh,
+    split_tibial_cartilage_surface,
+)
+from oai_analysis_2_tpu.mesh.types import Mesh
+
+__all__ = [
+    "get_cell_centroid",
+    "get_cell_normals",
+    "get_distance",
+    "get_mesh",
+    "get_mesh_from_probability_map",
+    "get_thickness_mesh",
+    "get_vtk_mesh",
+    "map_attributes",
+    "project_thickness",
+    "smooth_mesh",
+    "split_mesh",
+    "split_femoral_cartilage_surface",
+    "split_tibial_cartilage_surface",
+    "get_cylinder",
+    "get_projection_from_circle_and_vertice",
+]
+
+
+def get_cell_centroid(mesh: Mesh) -> np.ndarray:
+    """Per-face centroids (reference mesh_processing.py:26-40 — there a
+    Python per-face loop; here one vectorized gather+mean)."""
+    return face_centroids(mesh)
+
+
+def get_cell_normals(mesh: Mesh) -> np.ndarray:
+    """Per-face unit normals (reference mesh_processing.py:44-46)."""
+    return face_normals(mesh)
+
+
+def get_vtk_mesh(verts: np.ndarray, faces: np.ndarray, filter_threshold: int = 3000) -> Mesh:
+    """Assemble a mesh from raw arrays and drop small connected components
+    (reference get_vtk_mesh, mesh_processing.py:102-146, threshold at 127)."""
+    return filter_small_components(Mesh(verts, faces), filter_threshold)
+
+
+def get_mesh(
+    image: Image,
+    num_iterations: int = 150,
+    level: float = 0.5,
+    filter_threshold: int = 3000,
+) -> Mesh:
+    """Probability map -> smoothed surface mesh (reference get_mesh,
+    mesh_processing.py:325-340): iso-surface at 0.5 on the [x,y,z]-indexed
+    array with spacing-scaled coordinates and ascent orientation, small-
+    component removal, then Laplacian smoothing.
+
+    N.B. the reference ignores its num_iterations argument (hardcodes 150 at
+    mesh_processing.py:388) — here the argument is honored.
+    """
+    vol_xyz = np.swapaxes(np.asarray(image.data), 0, 2).astype(np.float32)
+    spacing = tuple(float(s) for s in np.asarray(image.spacing))
+    raw = marching_tetrahedra(vol_xyz, level=level, spacing=spacing)
+    mesh = filter_small_components(raw, filter_threshold)
+    return smooth_mesh(mesh, num_iterations=num_iterations)
+
+
+def get_mesh_from_probability_map(image: Image, level: float = 0.5) -> Mesh:
+    """Alternative extraction path (reference get_mesh_from_probability_map,
+    mesh_processing.py:343-349, via itk-cuberille): same iso-surface with
+    vertices projected onto the iso-value, no smoothing/filtering."""
+    vol_xyz = np.swapaxes(np.asarray(image.data), 0, 2).astype(np.float32)
+    spacing = tuple(float(s) for s in np.asarray(image.spacing))
+    return marching_tetrahedra(vol_xyz, level=level, spacing=spacing)
+
+
+def get_thickness_mesh(
+    image: Image, mesh_type: str = "FC", num_iterations: int = 150
+) -> Tuple[Mesh, Mesh]:
+    """Probability map -> (inner, outer) meshes with per-point thickness
+    scalars (reference get_thickness_mesh, mesh_processing.py:381-395)."""
+    mesh = get_mesh(image, num_iterations=num_iterations)
+    inner_mesh, outer_mesh = split_mesh(mesh, mesh_type)
+    return get_distance(inner_mesh, outer_mesh)

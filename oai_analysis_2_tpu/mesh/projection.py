@@ -1,0 +1,77 @@
+"""2D thickness mapping: FC cylindrical unrolling, TC planar projection.
+
+Reimplements the reference's projection stage (mesh_processing.py:448-534):
+  * FC: swap x/y, least-squares circle fit of the (x, y) footprint, unroll to
+    (angle, z) cylindrical coordinates;
+  * TC: split plateaus at z=50, 2-component linear KPCA per side, rotate
+    -50 deg / -160 deg, flip right x, offset right y by +50, concatenate.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from oai_analysis_2_tpu.mesh.types import Mesh
+from oai_analysis_2_tpu.ops.decomposition import compute_least_square_circle, linear_kpca
+
+
+def get_cylinder(vertices: np.ndarray):
+    """Circle fit of the (x, y) footprint + z range (reference
+    mesh_processing.py:448-452)."""
+    x, y = vertices[:, 0], vertices[:, 1]
+    center, r = compute_least_square_circle(x, y)
+    return (center, r), (vertices[:, 2].min(), vertices[:, 2].max())
+
+
+def get_projection_from_circle_and_vertice(vertices: np.ndarray, circle):
+    """Cylindrical unrolling: angle about the fitted center + z
+    (reference mesh_processing.py:456-475)."""
+
+    def equal_scale(v, ref):
+        v = (v - v.min()) / max(v.max() - v.min(), 1e-20)
+        return v * (ref.max() - ref.min()) * 1.5 + ref.min()
+
+    center, _ = circle
+    radian = np.arctan2(vertices[:, 1] - center[1], vertices[:, 0] - center[0])
+    embedded = np.stack([radian, vertices[:, 2]], axis=1)
+
+    angle = equal_scale(radian / np.pi * 180.0, vertices[:, 2])
+    plot_xy = np.stack([angle, vertices[:, 2]], axis=1)
+    return embedded, plot_xy
+
+
+def _rotate2d(pts: np.ndarray, angle_deg: float) -> np.ndarray:
+    t = np.deg2rad(angle_deg)
+    rot = np.array([[np.cos(t), -np.sin(t)], [np.sin(t), np.cos(t)]])
+    return pts @ rot
+
+
+def project_thickness(
+    mapped_mesh: Mesh, mesh_type: str = "FC", embedded: Optional[np.ndarray] = None
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(x_2d, y_2d, thickness) per point — reference mesh_processing.py:481-534."""
+    thickness = np.asarray(mapped_mesh.point_data, np.float32)
+
+    if mesh_type == "FC":
+        verts = np.array(mapped_mesh.vertices, np.float32)
+        verts[:, [1, 0]] = verts[:, [0, 1]]  # reference swaps x/y (501)
+        circle, _ = get_cylinder(verts)
+        emb, _ = get_projection_from_circle_and_vertice(verts, circle)
+        return emb[:, 0], emb[:, 1], thickness
+
+    verts = np.asarray(mapped_mesh.vertices, np.float32)
+    left = verts[:, 2] < 50
+    right = ~left
+    idx_left = np.nonzero(left)[0]
+    idx_right = np.nonzero(right)[0]
+
+    emb_left = _rotate2d(linear_kpca(verts[left]), -50.0)
+    emb_right = _rotate2d(linear_kpca(verts[right]), -160.0)
+    emb_right[:, 0] = -emb_right[:, 0]
+
+    x2d = np.concatenate([emb_right[:, 0], emb_left[:, 0]])
+    y2d = np.concatenate([emb_right[:, 1] + 50.0, emb_left[:, 1]])
+    th = np.concatenate([thickness[idx_right], thickness[idx_left]])
+    return x2d, y2d, th

@@ -1,0 +1,335 @@
+"""GradICON-style deformable registration — TPU-native.
+
+Replaces the reference's external `icon_registration` dependency
+(oai_analysis/registration.py:18-27, pinned icon-registration==1.1.2 in
+pyproject.toml:35): a multiscale, two-step displacement-field registration
+network with gradient-inverse-consistency (GradICON) regularisation and
+LNCC similarity, plus an instance-optimization mode that registers a pair
+without pretrained weights.
+
+Design (idiomatic JAX, everything jit/vmap/grad-friendly):
+  * images and transforms live on a fixed registration grid; coordinates
+    are normalized to [0, 1]^3 (z, y, x order matching array axes);
+  * a transform is a dense coordinate map phi: (D, H, W, 3) with
+    phi(x) = sample point for the pullback  B_warped(x) = B(phi(x));
+  * stages are small 3D UNets predicting displacement increments; stage k
+    refines the running map via  phi <- phi_prev  o  (id + u_k), evaluated
+    coarse-to-fine (the reference's TwoStep/Downsample wrappers);
+  * GradICON penalty: finite-difference Jacobian of phi_AB o phi_BA minus
+    identity, squared — the regularizer from "Gradient Inverse Consistency:
+    GradICON" (Tian et al., CVPR 2023), which the pretrained OAI knees model
+    of the reference uses;
+  * similarity: local normalized cross-correlation over a box window.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from oai_analysis_2_tpu.models.unet3d import UNet3D, UNetSpec
+from oai_analysis_2_tpu.ops.resample import _trilinear_gather
+
+# ---------------------------------------------------------------------------
+# Transform algebra on the registration grid (normalized [0,1]^3, zyx order)
+# ---------------------------------------------------------------------------
+
+
+def identity_map(shape_zyx: Tuple[int, int, int]) -> jax.Array:
+    """(D, H, W, 3) normalized coordinates of every voxel."""
+    d, h, w = shape_zyx
+    z = jnp.linspace(0.0, 1.0, d)
+    y = jnp.linspace(0.0, 1.0, h)
+    x = jnp.linspace(0.0, 1.0, w)
+    zz, yy, xx = jnp.meshgrid(z, y, x, indexing="ij")
+    return jnp.stack([zz, yy, xx], axis=-1).astype(jnp.float32)
+
+
+def _to_index(phi: jax.Array, shape_zyx) -> jax.Array:
+    scale = jnp.asarray([s - 1.0 for s in shape_zyx], jnp.float32)
+    return phi * scale
+
+
+def warp(volume: jax.Array, phi: jax.Array) -> jax.Array:
+    """Pullback-warp a (D,H,W) volume: out(x) = volume(phi(x)). Outside -> 0."""
+    return _trilinear_gather(volume, _to_index(phi, volume.shape), 0.0)
+
+
+def compose(phi_outer: jax.Array, phi_inner: jax.Array) -> jax.Array:
+    """(phi_outer o phi_inner)(x) = phi_outer(phi_inner(x)).
+
+    phi_outer is a (D,H,W,3) field sampled at phi_inner's points (clamped to
+    the unit cube so boundary compositions stay well-defined)."""
+    shape = phi_outer.shape[:3]
+    pts = jnp.clip(phi_inner, 0.0, 1.0)
+    return _trilinear_gather(phi_outer, _to_index(pts, shape), 0.0)
+
+
+def downsample2x(volume: jax.Array) -> jax.Array:
+    """2x average-pool downsample of a (D,H,W) volume."""
+    return lax.reduce_window(
+        volume, 0.0, lax.add, (2, 2, 2), (2, 2, 2), "VALID"
+    ) * 0.125
+
+
+def resize_field(phi: jax.Array, shape_zyx: Tuple[int, int, int]) -> jax.Array:
+    """Trilinear resize of a (D,H,W,3) field defined on normalized coords."""
+    ident = identity_map(shape_zyx)
+    return _trilinear_gather(phi, _to_index(ident, phi.shape[:3]), 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Losses
+# ---------------------------------------------------------------------------
+
+
+def _box_mean(x: jax.Array, win: int) -> jax.Array:
+    """Box-filter mean over a (D,H,W) volume, SAME padding."""
+    s = lax.reduce_window(x, 0.0, lax.add, (win, win, win), (1, 1, 1), "SAME")
+    n = lax.reduce_window(
+        jnp.ones_like(x), 0.0, lax.add, (win, win, win), (1, 1, 1), "SAME"
+    )
+    return s / n
+
+
+def lncc(a: jax.Array, b: jax.Array, win: int = 5, eps: float = 1e-5) -> jax.Array:
+    """1 - mean local normalized cross-correlation (the similarity used by the
+    reference's pretrained OAI model)."""
+    mu_a = _box_mean(a, win)
+    mu_b = _box_mean(b, win)
+    var_a = _box_mean(a * a, win) - mu_a * mu_a
+    var_b = _box_mean(b * b, win) - mu_b * mu_b
+    cov = _box_mean(a * b, win) - mu_a * mu_b
+    cc = (cov * cov) / (var_a * var_b + eps)
+    return 1.0 - jnp.mean(cc)
+
+
+def make_similarity(kind: str = "lncc", lncc_window: int = 5, mse_weight: float = 30.0):
+    """Similarity factory. "lncc" is contrast-invariant (the GradICON paper's
+    choice); "lncc+mse" adds a weighted intensity term — stronger capture
+    range for same-modality pairs (DESS knee vs DESS atlas), the default of
+    the instance-optimization path; "mse" is plain intensity."""
+
+    def sim(a, b_warped):
+        total = 0.0
+        if "lncc" in kind:
+            total = total + lncc(a, b_warped, lncc_window)
+        if "mse" in kind:
+            total = total + mse_weight * jnp.mean((a - b_warped) ** 2)
+        return total
+
+    return sim
+
+
+def gradicon_penalty(phi_ab: jax.Array, phi_ba: jax.Array) -> jax.Array:
+    """|| d/dx (phi_AB o phi_BA) - I ||^2 via forward differences."""
+    comp = compose(phi_ab, phi_ba)  # (D,H,W,3) ~ identity
+    shape = comp.shape[:3]
+    total = 0.0
+    for axis in range(3):
+        h = 1.0 / (shape[axis] - 1)
+        d = jnp.diff(comp, axis=axis) / h  # ~ dcomp/dx_axis
+        e = jnp.zeros((3,)).at[axis].set(1.0)
+        total = total + jnp.mean(jnp.sum((d - e) ** 2, axis=-1))
+    return total
+
+
+def diffusion_penalty(phi: jax.Array) -> jax.Array:
+    """Smoothness of the displacement u = phi - id (first differences)."""
+    u = phi - identity_map(phi.shape[:3])
+    total = 0.0
+    for axis in range(3):
+        h = 1.0 / (phi.shape[axis] - 1)
+        d = jnp.diff(u, axis=axis) / h
+        total = total + jnp.mean(jnp.sum(d * d, axis=-1))
+    return total
+
+
+# ---------------------------------------------------------------------------
+# The multiscale network
+# ---------------------------------------------------------------------------
+
+
+def _stage_spec(width: int = 16) -> UNetSpec:
+    """A compact 3-level UNet: 2 image channels in, 3 displacement channels out."""
+    w = width
+    return UNetSpec(
+        name="reg_stage",
+        enc=((w, 2 * w), (2 * w, 4 * w), (4 * w, 8 * w)),
+        dec=((8 * w, 4 * w, 4 * w), (4 * w, 2 * w, 2 * w)),
+        in_channels=2,
+        n_classes=3,
+        bias=True,
+        batchnorm=False,
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class GradICONConfig:
+    grid_shape: Tuple[int, int, int] = (80, 192, 192)  # net grid, z,y,x
+    scales: Tuple[int, ...] = (4, 2, 1)  # coarse-to-fine downsample factors
+    stage_width: int = 16
+    lncc_window: int = 5
+    lambda_reg: float = 1.5
+    displacement_scale: float = 0.2  # max fraction of the volume per stage
+
+
+class GradICON:
+    """Multiscale two-step registration network with shared per-scale UNets."""
+
+    def __init__(self, config: GradICONConfig = GradICONConfig(), compute_dtype=jnp.float32):
+        self.config = config
+        self.stages = [
+            UNet3D(_stage_spec(config.stage_width), compute_dtype=compute_dtype)
+            for _ in config.scales
+        ]
+
+    def init(self, key: jax.Array) -> List[dict]:
+        keys = jax.random.split(key, len(self.stages))
+        return [m.init(k) for m, k in zip(self.stages, keys)]
+
+    # -- single direction -------------------------------------------------------
+
+    def _stage_increment(self, stage: UNet3D, params, a_s, b_warp_s):
+        """Predict a displacement increment at one scale from the fixed image
+        and the current warped moving image."""
+        net_in = jnp.stack([a_s, b_warp_s], axis=-1)[None]  # (1,D,H,W,2)
+        u = stage.apply(params, net_in)[0]  # (D,H,W,3) raw
+        return jnp.tanh(u) * self.config.displacement_scale
+
+    def forward_map(self, params_list: List[dict], a: jax.Array, b: jax.Array) -> jax.Array:
+        """phi s.t. b(phi(x)) ~= a(x): the pullback warping B onto A's grid."""
+        cfg = self.config
+        full_shape = a.shape
+        phi = identity_map(full_shape)
+        for stage, params, scale in zip(self.stages, params_list, cfg.scales):
+            a_s, b_s = a, warp(b, phi)
+            for _ in range(int.bit_length(scale) - 1):  # scale is 1,2,4,...
+                a_s, b_s = downsample2x(a_s), downsample2x(b_s)
+            u = self._stage_increment(stage, params, a_s, b_s)
+            if u.shape[:3] != full_shape:
+                u = resize_field(u, full_shape)
+            # refine: phi <- phi o (id + u)
+            phi = compose(phi, identity_map(full_shape) + u)
+        return phi
+
+    def both_maps(self, params_list, a, b):
+        phi_ab = self.forward_map(params_list, a, b)  # warps B onto A
+        phi_ba = self.forward_map(params_list, b, a)  # warps A onto B
+        return phi_ab, phi_ba
+
+    # -- training loss ----------------------------------------------------------
+
+    def loss(self, params_list, a, b):
+        cfg = self.config
+        phi_ab, phi_ba = self.both_maps(params_list, a, b)
+        sim = lncc(a, warp(b, phi_ab), cfg.lncc_window) + lncc(
+            b, warp(a, phi_ba), cfg.lncc_window
+        )
+        reg = gradicon_penalty(phi_ab, phi_ba)
+        return sim + cfg.lambda_reg * reg, (sim, reg, phi_ab, phi_ba)
+
+
+def make_gradicon_train_step(model: GradICON, optimizer):
+    """Jitted GradICON training step over a batch of image pairs.
+
+    a, b: (N, D, H, W) volume pairs on the registration grid."""
+
+    def step(params, opt_state, a, b):
+        def batch_loss(p):
+            def one(a1, b1):
+                l, aux = model.loss(p, a1, b1)
+                return l
+
+            return jnp.mean(jax.vmap(one)(a, b))
+
+        loss_val, grads = jax.value_and_grad(batch_loss)(params)
+        import optax
+
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss_val
+
+    return jax.jit(step)
+
+
+# ---------------------------------------------------------------------------
+# Instance optimization (registration without pretrained weights)
+# ---------------------------------------------------------------------------
+
+
+def register_pair_instance(
+    a: jax.Array,
+    b: jax.Array,
+    scales: Sequence[int] = (8, 4, 2),
+    steps_per_scale: int = 60,
+    lr: float = 0.05,
+    lncc_window: int = 5,
+    lambda_reg: float = 0.5,
+    similarity: str = "lncc+mse",
+    verbose: bool = False,
+):
+    """Symmetric multiscale instance-optimization registration.
+
+    Optimizes per-scale displacement fields for both directions jointly with
+    LNCC similarity + GradICON inverse-consistency, coarse to fine. Returns
+    (phi_ab, phi_ba) coordinate maps on a's grid shape; b(phi_ab(x)) ~= a(x).
+
+    This is the out-of-the-box registration path (the reference requires a
+    1.2 GB pretrained download; this path requires nothing) — and it runs
+    entirely on TPU under jit.
+    """
+    import optax
+
+    sim_fn = make_similarity(similarity, lncc_window)
+    full_shape = a.shape
+    ident_full = identity_map(full_shape)
+
+    def pyramid(vol, s):
+        out = vol
+        for _ in range(int.bit_length(int(s)) - 1):
+            out = downsample2x(out)
+        return out
+
+    phi_ab = ident_full
+    phi_ba = ident_full
+
+    for scale in scales:
+        a_s, b_s = pyramid(a, scale), pyramid(b, scale)
+        shape_s = a_s.shape
+        ident_s = identity_map(shape_s)
+        base_ab = resize_field(phi_ab, shape_s)
+        base_ba = resize_field(phi_ba, shape_s)
+        u0 = jnp.zeros(shape_s + (3,), jnp.float32)
+        params = {"u_ab": u0, "u_ba": u0}
+
+        def loss_fn(p, base_ab=base_ab, base_ba=base_ba, a_s=a_s, b_s=b_s, ident_s=ident_s):
+            pab = compose(base_ab, ident_s + p["u_ab"])
+            pba = compose(base_ba, ident_s + p["u_ba"])
+            sim = sim_fn(a_s, warp(b_s, pab)) + sim_fn(b_s, warp(a_s, pba))
+            reg = gradicon_penalty(pab, pba)
+            return sim + lambda_reg * reg
+
+        optimizer = optax.adam(lr)
+        opt_state = optimizer.init(params)
+
+        @jax.jit
+        def opt_step(params, opt_state):
+            l, g = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = optimizer.update(g, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, l
+
+        for i in range(steps_per_scale):
+            params, opt_state, l = opt_step(params, opt_state)
+            if verbose and i % 20 == 0:
+                print(f"scale {scale} step {i}: loss {float(l):.4f}")
+
+        phi_ab = resize_field(compose(base_ab, ident_s + params["u_ab"]), full_shape)
+        phi_ba = resize_field(compose(base_ba, ident_s + params["u_ba"]), full_shape)
+
+    return phi_ab, phi_ba

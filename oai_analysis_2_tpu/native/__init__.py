@@ -1,0 +1,89 @@
+"""ctypes bindings for the native host-geometry kernels (native.cpp).
+
+Builds lazily with `make` on first use if the shared library is missing;
+every caller has a pure-Python/scipy fallback, so absence of a compiler is
+never fatal.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+_DIR = Path(__file__).resolve().parent
+_LIB_PATH = _DIR / "libnative.so"
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not _LIB_PATH.exists():
+        try:
+            subprocess.run(
+                ["make", "-C", str(_DIR)], check=True, capture_output=True, timeout=120
+            )
+        except Exception:  # noqa: BLE001 — fall back to python paths
+            return None
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+    except OSError:
+        return None
+    lib.uf_connected_components.restype = ctypes.c_int32
+    lib.uf_connected_components.argtypes = [
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.mesh_edges.restype = ctypes.c_int64
+    lib.mesh_edges.argtypes = [
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+    _lib = lib
+    return _lib
+
+
+def _ptr(a, typ):
+    return a.ctypes.data_as(ctypes.POINTER(typ))
+
+
+def connected_components(n_points: int, faces: np.ndarray) -> Optional[np.ndarray]:
+    """Per-point component labels, or None if the native lib is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    faces = np.ascontiguousarray(faces, np.int32)
+    labels = np.empty(n_points, np.int32)
+    lib.uf_connected_components(
+        n_points, len(faces), _ptr(faces, ctypes.c_int32), _ptr(labels, ctypes.c_int32)
+    )
+    return labels
+
+
+def mesh_edges(faces: np.ndarray) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """(unique undirected edges (E,2), boundary flags (E,)) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    faces = np.ascontiguousarray(faces, np.int32)
+    max_edges = 3 * len(faces)
+    edges = np.empty((max_edges, 2), np.int32)
+    boundary = np.empty(max_edges, np.uint8)
+    n = lib.mesh_edges(
+        len(faces),
+        _ptr(faces, ctypes.c_int32),
+        _ptr(edges, ctypes.c_int32),
+        _ptr(boundary, ctypes.c_uint8),
+    )
+    return edges[:n], boundary[:n].astype(bool)

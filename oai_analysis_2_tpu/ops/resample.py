@@ -1,0 +1,160 @@
+"""Physical-space trilinear resampling and displacement-field warping.
+
+Replaces ITK's C++ ResampleImageFilter + DisplacementFieldTransform +
+LinearInterpolateImageFunction (reference call sites:
+dask_processing.py:95-111, test/test_all.py:43-51, FullDemo cells 6-7)
+with fused XLA gathers that run on TPU and differentiate cleanly — the
+same primitive is the inner loop of GradICON registration.
+
+Semantics:
+  * all interpolation happens in ITK physical space: an output voxel's
+    physical point is pulled back through the transform, then converted to
+    a continuous index of the moving image via its origin/spacing/direction;
+  * points outside the moving image's buffered region produce
+    `outside_value` (ITK resample default 0);
+  * a displacement field maps T(x) = x + d(x), with d(x) trilinearly
+    interpolated on the field's own grid and zero outside it (ITK
+    DisplacementFieldTransform semantics).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from oai_analysis_2_tpu.core.image import Image, physical_grid
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DisplacementField:
+    """A dense displacement field on its own grid.
+
+    `field` has shape (D, H, W, 3): an xyz-ordered physical-space
+    displacement vector per voxel (z,y,x indexed grid, like Image.data).
+    This is the TPU equivalent of the `phi_AB` ITK transform returned by
+    icon_registration.itk_wrapper.register_pair (reference registration.py:25).
+    """
+
+    field: jax.Array  # (D, H, W, 3) xyz vectors
+    origin: jax.Array  # (3,) xyz
+    spacing: jax.Array  # (3,) xyz
+    direction: jax.Array  # (3, 3)
+
+    @property
+    def shape(self) -> Tuple[int, ...]:
+        return self.field.shape[:3]
+
+    def as_image_grid(self) -> Image:
+        return Image(
+            data=self.field[..., 0],
+            origin=self.origin,
+            spacing=self.spacing,
+            direction=self.direction,
+        )
+
+
+def _trilinear_gather(volume: jnp.ndarray, idx_zyx: jnp.ndarray, outside_value: float):
+    """Trilinear sample of a (D,H,W) or (D,H,W,C) volume at continuous
+    (..., 3) z,y,x indices. Returns (..., [C]) samples; out-of-buffer -> outside."""
+    d, h, w = volume.shape[:3]
+    z, y, x = idx_zyx[..., 0], idx_zyx[..., 1], idx_zyx[..., 2]
+
+    # small tolerance so points that land exactly on the buffer edge (up to
+    # float rounding, e.g. composed normalized coordinates) stay inside —
+    # matching ITK's inclusive IsInsideBuffer boundary semantics
+    eps = 1e-3
+    inside = (
+        (z >= -eps) & (z <= d - 1.0 + eps)
+        & (y >= -eps) & (y <= h - 1.0 + eps)
+        & (x >= -eps) & (x <= w - 1.0 + eps)
+    )
+
+    z0 = jnp.clip(jnp.floor(z), 0, d - 1).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(y), 0, h - 1).astype(jnp.int32)
+    x0 = jnp.clip(jnp.floor(x), 0, w - 1).astype(jnp.int32)
+    z1 = jnp.minimum(z0 + 1, d - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+
+    fz = jnp.clip(z - z0, 0.0, 1.0)
+    fy = jnp.clip(y - y0, 0.0, 1.0)
+    fx = jnp.clip(x - x0, 0.0, 1.0)
+
+    def gather(zi, yi, xi):
+        return volume[zi, yi, xi]
+
+    c000 = gather(z0, y0, x0)
+    c001 = gather(z0, y0, x1)
+    c010 = gather(z0, y1, x0)
+    c011 = gather(z0, y1, x1)
+    c100 = gather(z1, y0, x0)
+    c101 = gather(z1, y0, x1)
+    c110 = gather(z1, y1, x0)
+    c111 = gather(z1, y1, x1)
+
+    if volume.ndim == 4:
+        fz, fy, fx = fz[..., None], fy[..., None], fx[..., None]
+        inside_b = inside[..., None]
+    else:
+        inside_b = inside
+
+    c00 = c000 * (1 - fx) + c001 * fx
+    c01 = c010 * (1 - fx) + c011 * fx
+    c10 = c100 * (1 - fx) + c101 * fx
+    c11 = c110 * (1 - fx) + c111 * fx
+    c0 = c00 * (1 - fy) + c01 * fy
+    c1 = c10 * (1 - fy) + c11 * fy
+    out = c0 * (1 - fz) + c1 * fz
+    return jnp.where(inside_b, out, outside_value)
+
+
+def sample_at_physical_points(
+    image: Image, points_xyz: jnp.ndarray, outside_value: float = 0.0
+) -> jnp.ndarray:
+    """Trilinearly sample an Image at physical points (..., 3)."""
+    idx_xyz = image.physical_to_indices(points_xyz)
+    idx_zyx = idx_xyz[..., ::-1]
+    return _trilinear_gather(image.data, idx_zyx, outside_value)
+
+
+def sample_displacement(disp: DisplacementField, points_xyz: jnp.ndarray) -> jnp.ndarray:
+    """Interpolate the displacement field at physical points; zero outside."""
+    grid = disp.as_image_grid()
+    idx_xyz = grid.physical_to_indices(points_xyz)
+    idx_zyx = idx_xyz[..., ::-1]
+    return _trilinear_gather(disp.field, idx_zyx, 0.0)
+
+
+def resample_image(
+    moving: Image,
+    reference: Image,
+    displacement: Optional[DisplacementField] = None,
+    outside_value: float = 0.0,
+) -> Image:
+    """Pull back `moving` onto `reference`'s grid, optionally through a
+    displacement transform — the TPU-native `itk.resample_image_filter(
+    prob, transform=phi_AB, ...)` of dask_processing.py:100-109."""
+    pts = physical_grid(
+        reference.data.shape, reference.origin, reference.spacing, reference.direction
+    )
+    if displacement is not None:
+        pts = pts + sample_displacement(displacement, pts)
+    warped = sample_at_physical_points(moving, pts, outside_value)
+    return Image(
+        data=warped.astype(moving.data.dtype),
+        origin=reference.origin,
+        spacing=reference.spacing,
+        direction=reference.direction,
+    )
+
+
+def resample_with_displacement(
+    moving: Image, displacement: DisplacementField, reference: Image
+) -> Image:
+    """Alias matching the reference's deform_probmap call shape
+    (dask_processing.py:95-111)."""
+    return resample_image(moving, reference, displacement)

@@ -1,0 +1,225 @@
+"""Mesh subsystem tests: marching tetrahedra phantoms, components, smoothing,
+exact point-triangle distance, attribute transfer, clustering, projection."""
+
+import numpy as np
+import pytest
+
+from oai_analysis_2_tpu.core.image import image_from_array
+from oai_analysis_2_tpu.mesh.components import extract_faces, filter_small_components
+from oai_analysis_2_tpu.mesh.marching import marching_tetrahedra
+from oai_analysis_2_tpu.mesh.ops import (
+    distance_to_surface,
+    face_centroids,
+    face_normals,
+    get_distance,
+    map_attributes,
+    smooth_mesh,
+)
+from oai_analysis_2_tpu.mesh.types import Mesh
+from oai_analysis_2_tpu.ops.clustering import kmeans
+from oai_analysis_2_tpu.ops.decomposition import compute_least_square_circle, linear_kpca
+
+
+def _ball_volume(n=24, r=8.0, center=None):
+    c = center or (n / 2, n / 2, n / 2)
+    x, y, z = np.meshgrid(np.arange(n), np.arange(n), np.arange(n), indexing="ij")
+    d = np.sqrt((x - c[0]) ** 2 + (y - c[1]) ** 2 + (z - c[2]) ** 2)
+    return np.clip(1.0 - (d - r), 0.0, 1.0).astype(np.float32)  # smooth step at r
+
+
+def _edge_counts(mesh):
+    e = np.concatenate(
+        [mesh.faces[:, [0, 1]], mesh.faces[:, [1, 2]], mesh.faces[:, [2, 0]]], axis=0
+    )
+    e = np.sort(e, axis=1)
+    _, counts = np.unique(e, axis=0, return_counts=True)
+    return counts
+
+
+class TestMarchingTetrahedra:
+    def test_sphere_watertight_euler_area(self):
+        vol = _ball_volume()
+        mesh = marching_tetrahedra(vol, level=0.5)
+        assert mesh.n_cells > 100
+        counts = _edge_counts(mesh)
+        assert np.all(counts == 2), "surface must be watertight"
+        v, f = mesh.n_points, mesh.n_cells
+        e = len(counts)
+        assert v - e + f == 2, "sphere Euler characteristic"
+        tri = mesh.triangles()
+        areas = 0.5 * np.linalg.norm(
+            np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0]), axis=1
+        )
+        r = 8.5  # level 0.5 of the smooth step sits at d = r + 0.5
+        assert abs(areas.sum() - 4 * np.pi * r * r) / (4 * np.pi * r * r) < 0.05
+
+    def test_orientation_ascent(self):
+        """Normals must point toward higher values (into the object) —
+        the reference's gradient_direction='ascent' (mesh_processing.py:333)."""
+        vol = _ball_volume()
+        mesh = marching_tetrahedra(vol, level=0.5)
+        center = np.array([12.0, 12.0, 12.0])
+        normals = face_normals(mesh)
+        centroids = face_centroids(mesh)
+        inward = np.sum(normals * (center - centroids), axis=1)
+        assert (inward > 0).mean() > 0.99
+
+    def test_spacing_scales_coordinates(self):
+        vol = _ball_volume(16, r=5, center=(8, 8, 8))
+        m1 = marching_tetrahedra(vol, 0.5, spacing=(1, 1, 1))
+        m2 = marching_tetrahedra(vol, 0.5, spacing=(2.0, 1.0, 0.5))
+        np.testing.assert_allclose(
+            m2.vertices, m1.vertices * np.array([2.0, 1.0, 0.5]), atol=1e-5
+        )
+
+    def test_empty_when_no_crossing(self):
+        mesh = marching_tetrahedra(np.zeros((5, 5, 5), np.float32), 0.5)
+        assert mesh.n_cells == 0
+
+
+class TestComponents:
+    def test_filter_small_components(self):
+        n = 40
+        vol = _ball_volume(n, r=10, center=(15, 15, 15))
+        vol2 = _ball_volume(n, r=2.5, center=(33, 33, 33))
+        mesh = marching_tetrahedra(np.maximum(vol, vol2), 0.5)
+        big_only = filter_small_components(mesh, filter_threshold=1000)
+        assert 0 < big_only.n_cells < mesh.n_cells
+        # all kept faces belong to the big sphere (centroids near its center)
+        c = face_centroids(big_only)
+        assert np.all(np.linalg.norm(c - np.array([15, 15, 15]), axis=1) < 14)
+
+    def test_extract_faces_reindexes(self):
+        mesh = Mesh(
+            np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [5, 5, 5]], np.float32),
+            np.array([[0, 1, 2], [1, 2, 3]], np.int32),
+        )
+        sub = extract_faces(mesh, [0])
+        assert sub.n_points == 3 and sub.n_cells == 1
+        np.testing.assert_array_equal(sub.vertices, mesh.vertices[:3])
+
+
+class TestSmoothing:
+    def test_smoothing_reduces_roughness(self):
+        rng = np.random.default_rng(0)
+        vol = _ball_volume()
+        mesh = marching_tetrahedra(vol, 0.5)
+        noisy = mesh.copy()
+        noisy.vertices = mesh.vertices + rng.normal(0, 0.15, mesh.vertices.shape).astype(
+            np.float32
+        )
+        sm = smooth_mesh(noisy, num_iterations=150)
+        center = noisy.vertices.mean(axis=0)
+
+        def roughness(m):
+            r = np.linalg.norm(m.vertices - center, axis=1)
+            return r.std()
+
+        assert roughness(sm) < roughness(noisy)
+        # volume preserved approximately (no collapse)
+        assert np.ptp(sm.vertices[:, 0]) > 0.8 * np.ptp(noisy.vertices[:, 0])
+
+
+class TestDistance:
+    def _plane(self, z, n=8, offset=0.0):
+        xs, ys = np.meshgrid(np.arange(n, dtype=np.float32), np.arange(n, dtype=np.float32))
+        verts = np.stack([xs.ravel() + offset, ys.ravel(), np.full(n * n, z, np.float32)], 1)
+        faces = []
+        for i in range(n - 1):
+            for j in range(n - 1):
+                a = i * n + j
+                faces.append([a, a + 1, a + n])
+                faces.append([a + 1, a + n + 1, a + n])
+        return Mesh(verts, np.array(faces, np.int32))
+
+    def test_parallel_planes(self):
+        inner = self._plane(0.0)
+        outer = self._plane(3.0)
+        di, do = get_distance(inner, outer)
+        np.testing.assert_allclose(di.point_data, 3.0, atol=1e-5)
+        np.testing.assert_allclose(do.point_data, 3.0, atol=1e-5)
+
+    def test_point_to_triangle_regions(self):
+        tri = Mesh(
+            np.array([[0, 0, 0], [2, 0, 0], [0, 2, 0]], np.float32),
+            np.array([[0, 1, 2]], np.int32),
+        )
+        pts = np.array(
+            [
+                [0.5, 0.5, 1.0],  # above interior -> plane distance 1
+                [3.0, 0.0, 0.0],  # beyond vertex (2,0,0) -> distance 1
+                [1.0, -2.0, 0.0],  # below edge y=0 -> distance 2
+                [0.5, 0.5, 0.0],  # on the triangle -> 0
+            ],
+            np.float32,
+        )
+        d = distance_to_surface(pts, tri)
+        np.testing.assert_allclose(d, [1.0, 1.0, 2.0, 0.0], atol=1e-5)
+
+    def test_second_distance_differs(self):
+        inner = self._plane(0.0, n=4)
+        outer = self._plane(5.0, n=12, offset=-4.0)
+        di, do = get_distance(inner, outer)
+        assert np.allclose(di.point_data, 5.0, atol=1e-4)
+        assert do.point_data.max() > 5.0  # far plane points see slanted distance
+
+
+class TestMapAttributes:
+    def test_nearest_neighbor_transfer(self):
+        src = Mesh(
+            np.array([[0, 0, 0], [10, 0, 0], [0, 10, 0]], np.float32),
+            np.array([[0, 1, 2]], np.int32),
+            point_data=np.array([1.0, 2.0, 3.0], np.float32),
+        )
+        tgt = Mesh(
+            np.array([[0.1, 0, 0], [9.5, 0.2, 0], [0, 9.9, 0.3]], np.float32),
+            np.array([[0, 1, 2]], np.int32),
+        )
+        out = map_attributes(src, tgt)
+        np.testing.assert_allclose(out.point_data, [1.0, 2.0, 3.0])
+
+
+class TestClustering:
+    def test_two_blobs(self):
+        rng = np.random.default_rng(0)
+        a = rng.normal(0, 0.3, (50, 3))
+        b = rng.normal(5, 0.3, (40, 3))
+        labels, centers = kmeans(np.concatenate([a, b]), k=2)
+        assert len(np.unique(labels[:50])) == 1
+        assert len(np.unique(labels[50:])) == 1
+        assert labels[0] != labels[-1]
+
+
+class TestDecomposition:
+    def test_circle_fit(self):
+        rng = np.random.default_rng(1)
+        t = rng.uniform(0, 2 * np.pi, 200)
+        x = 3.0 + 5.0 * np.cos(t) + rng.normal(0, 0.01, 200)
+        y = -2.0 + 5.0 * np.sin(t) + rng.normal(0, 0.01, 200)
+        center, r = compute_least_square_circle(x, y)
+        np.testing.assert_allclose(center, [3.0, -2.0], atol=0.01)
+        assert abs(r - 5.0) < 0.01
+
+    def test_linear_kpca_matches_pca(self):
+        rng = np.random.default_rng(2)
+        x = rng.normal(0, 1, (100, 3)) @ np.diag([5.0, 2.0, 0.1])
+        scores = linear_kpca(x, 2)
+        # variance ordering + centered + orthogonal components
+        assert scores[:, 0].var() > scores[:, 1].var()
+        np.testing.assert_allclose(scores.mean(axis=0), 0, atol=1e-4)
+        corr = np.corrcoef(scores[:, 0], scores[:, 1])[0, 1]
+        assert abs(corr) < 0.05
+
+
+class TestThicknessEndToEnd:
+    def test_slab_thickness(self):
+        """A 4-voxel-thick slab: inner/outer split + distance ~ 4."""
+        from oai_analysis_2_tpu.mesh.processing import get_thickness_mesh
+
+        vol = np.zeros((24, 24, 24), np.float32)
+        vol[:, :, 10:14] = 1.0  # slab normal to z (array is z,y,x -> slab in x!)
+        img = image_from_array(vol)
+        inner, outer = get_thickness_mesh(img, mesh_type="TC", num_iterations=20)
+        assert inner.n_points > 50 and outer.n_points > 50
+        d = np.concatenate([inner.point_data, outer.point_data])
+        assert 3.0 < np.median(d) < 5.0

@@ -1,0 +1,110 @@
+"""Registration tests: transform algebra, losses, instance-optimization
+recovery of a known translation, and the physical-space facade."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from oai_analysis_2_tpu.core.image import image_from_array
+from oai_analysis_2_tpu.models.gradicon import (
+    GradICON,
+    GradICONConfig,
+    compose,
+    gradicon_penalty,
+    identity_map,
+    lncc,
+    register_pair_instance,
+    warp,
+)
+
+
+def _blob(shape, center, sigma=4.0):
+    zz, yy, xx = np.meshgrid(*[np.arange(s) for s in shape], indexing="ij")
+    d2 = (zz - center[0]) ** 2 + (yy - center[1]) ** 2 + (xx - center[2]) ** 2
+    return np.exp(-d2 / (2 * sigma**2)).astype(np.float32)
+
+
+class TestTransformAlgebra:
+    def test_identity_warp(self):
+        rng = np.random.default_rng(0)
+        vol = jnp.asarray(rng.standard_normal((8, 8, 8)), jnp.float32)
+        ident = identity_map(vol.shape)
+        np.testing.assert_allclose(np.asarray(warp(vol, ident)), np.asarray(vol), atol=1e-5)
+
+    def test_compose_with_identity(self):
+        shape = (6, 7, 8)
+        ident = identity_map(shape)
+        rng = np.random.default_rng(1)
+        phi = ident + 0.05 * jnp.asarray(rng.standard_normal(shape + (3,)), jnp.float32)
+        np.testing.assert_allclose(np.asarray(compose(phi, ident)), np.asarray(phi), atol=1e-5)
+
+    def test_constant_shift_warp(self):
+        shape = (8, 8, 8)
+        vol = jnp.asarray(np.arange(512).reshape(shape), jnp.float32)
+        ident = identity_map(shape)
+        shift = jnp.zeros(3).at[2].set(1.0 / 7.0)  # +1 voxel in x
+        out = np.asarray(warp(vol, ident + shift))
+        np.testing.assert_allclose(out[:, :, :-1], np.asarray(vol)[:, :, 1:], atol=1e-3)
+
+    def test_gradicon_penalty_zero_for_inverse_pair(self):
+        shape = (8, 8, 8)
+        ident = identity_map(shape)
+        assert float(gradicon_penalty(ident, ident)) < 1e-8
+
+    def test_lncc_perfect_match_is_zero(self):
+        rng = np.random.default_rng(2)
+        a = jnp.asarray(rng.standard_normal((10, 10, 10)), jnp.float32)
+        assert float(lncc(a, a)) < 1e-3
+        b = jnp.asarray(rng.standard_normal((10, 10, 10)), jnp.float32)
+        assert float(lncc(a, b)) > 0.5
+
+
+class TestInstanceRegistration:
+    def test_recovers_translation(self):
+        shape = (16, 32, 32)
+        a = _blob(shape, (8, 16, 16))
+        b = _blob(shape, (8, 16, 20))  # shifted +4 in x
+        before = float(np.mean((a - b) ** 2))
+        phi_ab, phi_ba = register_pair_instance(
+            jnp.asarray(a), jnp.asarray(b), scales=(4, 2), steps_per_scale=40, lr=0.05
+        )
+        warped_b = np.asarray(warp(jnp.asarray(b), phi_ab))
+        after = float(np.mean((a - warped_b) ** 2))
+        assert after < 0.3 * before
+
+    def test_network_forward_shapes(self):
+        import jax
+
+        cfg = GradICONConfig(grid_shape=(8, 16, 16), scales=(2, 1), stage_width=2)
+        model = GradICON(cfg)
+        params = model.init(jax.random.PRNGKey(0))
+        a = jnp.asarray(_blob(cfg.grid_shape, (4, 8, 8)))
+        b = jnp.asarray(_blob(cfg.grid_shape, (4, 8, 10)))
+        phi_ab, phi_ba = model.both_maps(params, a, b)
+        assert phi_ab.shape == cfg.grid_shape + (3,)
+        loss, (sim, reg, *_) = model.loss(params, a, b)
+        assert np.isfinite(float(loss))
+
+
+class TestPhysicalFacade:
+    def test_register_and_warp_improves_overlap(self):
+        from oai_analysis_2_tpu.engine.registration import register_pair
+        from oai_analysis_2_tpu.models.gradicon import GradICONConfig
+        from oai_analysis_2_tpu.ops.resample import resample_image
+
+        shape = (16, 32, 32)
+        # knee (A): blob at x=20; atlas (B): blob at x=14, different origin
+        a_img = image_from_array(_blob(shape, (8, 16, 20)), origin=(1.0, 2.0, 3.0))
+        b_img = image_from_array(_blob(shape, (8, 16, 14)), origin=(-5.0, 0.0, 0.0))
+
+        cfg = GradICONConfig(grid_shape=shape, scales=(2, 1))
+        phi_ab, phi_ba = register_pair(
+            a_img, b_img, config=cfg, instance_scales=(4, 2), instance_steps=30
+        )
+        # warp an A-grid "probability map" (the blob itself) onto B's grid
+        warped = resample_image(a_img, b_img, displacement=phi_ab)
+        target = np.asarray(b_img.data)
+        before = float(np.mean((np.asarray(resample_image(a_img, b_img).data) - target) ** 2))
+        after = float(np.mean((np.asarray(warped.data) - target) ** 2))
+        assert after < 0.5 * before

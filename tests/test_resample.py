@@ -1,0 +1,91 @@
+"""Physical-space resampler tests: identity, affine exactness, scipy oracle,
+and displacement-field semantics."""
+
+import numpy as np
+from scipy import ndimage
+
+import jax.numpy as jnp
+
+from oai_analysis_2_tpu.core.image import image_from_array
+from oai_analysis_2_tpu.ops.resample import (
+    DisplacementField,
+    resample_image,
+    sample_at_physical_points,
+)
+
+
+def _image(rng, shape=(10, 12, 14), **kw):
+    return image_from_array(rng.standard_normal(shape).astype(np.float32), **kw)
+
+
+class TestResample:
+    def test_identity(self):
+        rng = np.random.default_rng(0)
+        img = _image(rng, origin=(3.0, -2.0, 1.0), spacing=(0.5, 0.7, 1.1))
+        out = resample_image(img, img)
+        np.testing.assert_allclose(np.asarray(out.data), np.asarray(img.data), atol=1e-5)
+
+    def test_trilinear_exact_on_affine_function(self):
+        """Trilinear interpolation reproduces affine functions of physical
+        position exactly, for any direction matrix."""
+        direction = np.array(
+            [[0.0, 1.0, 0.0], [0.0, 0.0, 1.0], [1.0, 0.0, 0.0]], dtype=np.float32
+        )
+        shape = (8, 9, 10)
+        origin, spacing = (5.0, -3.0, 2.0), (0.7, 0.36, 1.3)
+        img0 = image_from_array(np.zeros(shape, np.float32), origin, spacing, direction)
+        from oai_analysis_2_tpu.core.image import physical_grid
+
+        grid = np.asarray(physical_grid(shape, img0.origin, img0.spacing, img0.direction))
+        f = 2.0 * grid[..., 0] - 0.5 * grid[..., 1] + 3.0 * grid[..., 2] + 1.0
+        img = img0.with_data(jnp.asarray(f, dtype=jnp.float32))
+
+        rng = np.random.default_rng(1)
+        idx = rng.uniform([0, 0, 0], [9, 8, 7], size=(200, 3)).astype(np.float32)  # xyz
+        pts = img.indices_to_physical(jnp.asarray(idx))
+        got = np.asarray(sample_at_physical_points(img, pts))
+        expect = (
+            2.0 * np.asarray(pts)[:, 0]
+            - 0.5 * np.asarray(pts)[:, 1]
+            + 3.0 * np.asarray(pts)[:, 2]
+            + 1.0
+        )
+        np.testing.assert_allclose(got, expect, rtol=2e-4, atol=2e-3)
+
+    def test_matches_scipy_map_coordinates(self):
+        rng = np.random.default_rng(2)
+        img = _image(rng, shape=(12, 13, 14))
+        idx_xyz = rng.uniform(0, 11, size=(300, 3)).astype(np.float32)
+        pts = img.indices_to_physical(jnp.asarray(idx_xyz))
+        got = np.asarray(sample_at_physical_points(img, pts))
+        coords = np.stack([idx_xyz[:, 2], idx_xyz[:, 1], idx_xyz[:, 0]])  # zyx
+        expect = ndimage.map_coordinates(np.asarray(img.data), coords, order=1, mode="grid-constant")
+        np.testing.assert_allclose(got, expect, atol=1e-4)
+
+    def test_outside_returns_outside_value(self):
+        rng = np.random.default_rng(3)
+        img = _image(rng, shape=(4, 4, 4))
+        pts = jnp.asarray([[100.0, 100.0, 100.0]])
+        got = sample_at_physical_points(img, pts, outside_value=0.0)
+        assert float(got[0]) == 0.0
+
+    def test_constant_displacement_shifts(self):
+        """Warping with a constant displacement d equals sampling the moving
+        image at x + d (pullback)."""
+        rng = np.random.default_rng(4)
+        img = _image(rng, shape=(10, 11, 12), spacing=(1.0, 1.0, 1.0))
+        shift = np.array([2.0, 0.0, 0.0], np.float32)  # +2 in physical x
+        field = jnp.broadcast_to(jnp.asarray(shift), img.data.shape + (3,))
+        disp = DisplacementField(
+            field=field, origin=img.origin, spacing=img.spacing, direction=img.direction
+        )
+        out = np.asarray(resample_image(img, img, displacement=disp).data)
+        # pullback: out[z,y,x] = img[z,y,x+2]
+        np.testing.assert_allclose(out[:, :, :-2], np.asarray(img.data)[:, :, 2:], atol=1e-4)
+
+    def test_resample_to_coarser_grid(self):
+        rng = np.random.default_rng(5)
+        img = _image(rng, shape=(8, 8, 8), spacing=(1.0, 1.0, 1.0))
+        ref = image_from_array(np.zeros((4, 4, 4), np.float32), spacing=(2.0, 2.0, 2.0))
+        out = np.asarray(resample_image(img, ref).data)
+        np.testing.assert_allclose(out, np.asarray(img.data)[::2, ::2, ::2], atol=1e-5)
