@@ -68,7 +68,7 @@ def build_pipeline():
         )
     )
     model = UNet3D(NETWORK_SPECS["UNet"])
-    params = model.init(jax.random.PRNGKey(0))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0))
     save_checkpoint({"params": params, "epoch": 600}, False, tmp, name="seg.npz")
 
     segmenter = Segmenter3DInPatchClassWise(
