@@ -84,37 +84,56 @@ def build_pipeline():
 
     rng = np.random.default_rng(0)
     # DESS-like knee volume (z,y,x) and the 160x384x384 atlas grid of the
-    # reference (FullDemo cell 7)
-    knee_np = rng.uniform(0.0, 1200.0, (160, 384, 384)).astype(np.float32)
+    # reference (FullDemo cell 7). The knee has shell "anatomy" so that
+    # registration aligns real structure and the warped probability maps
+    # produce reference-sized meshes (test_all.py:69-70).
+    shape = (160, 384, 384)
+    fc_shell = _shell_probmap(shape)
+    tc_shell = _shell_probmap(shape, 40.0, 45.0, (80, 230, 192))
+    anatomy = np.maximum(fc_shell, tc_shell)
+    knee_np = (anatomy * 900.0 + rng.uniform(0.0, 250.0, shape)).astype(np.float32)
     knee = image_from_array(knee_np, spacing=(0.36, 0.36, 0.7))
-    atlas = image_from_array(
-        rng.uniform(0, 1, (160, 384, 384)).astype(np.float32), spacing=(0.36, 0.36, 0.7)
+    # atlas: same anatomy, slightly shifted, with matched background texture
+    # (mismatched background statistics make any intensity-driven registration
+    # shred the field to explain noise — like real pipelines, both volumes
+    # must be comparably preprocessed)
+    atlas_anatomy = np.maximum(
+        _shell_probmap(shape, center=(80, 206, 184)),
+        _shell_probmap(shape, 40.0, 45.0, (80, 222, 184)),
     )
-    fc_prob = image_from_array(_shell_probmap((160, 384, 384)), spacing=(0.36, 0.36, 0.7))
-    tc_prob = image_from_array(
-        _shell_probmap((160, 384, 384), 40.0, 45.0, (80, 230, 192)),
-        spacing=(0.36, 0.36, 0.7),
-    )
+    atlas_np = atlas_anatomy * 0.78 + rng.uniform(0.0, 0.22, shape)
+    atlas = image_from_array(atlas_np.astype(np.float32), spacing=(0.36, 0.36, 0.7))
+    fc_prob = image_from_array(fc_shell, spacing=(0.36, 0.36, 0.7))
+    tc_prob = image_from_array(tc_shell, spacing=(0.36, 0.36, 0.7))
     reg_cfg = GradICONConfig()
 
+    from oai_analysis_2_tpu.utils.profiling import StageTimer
+
     def one_knee():
+        timer = StageTimer()
         # 1) preprocess + segment
-        pre = percentile_window(knee, 0.1, 99.9, 0.0, 1.0)
-        fc, tc = segmenter.segment(pre, if_output_prob_map=True)
-        jax.block_until_ready((fc.data, tc.data))
+        with timer.stage("preprocess"):
+            pre = percentile_window(knee, 0.1, 99.9, 0.0, 1.0)
+            pre.data.block_until_ready()
+        with timer.stage("segment"):
+            fc, tc = segmenter.segment(pre, if_output_prob_map=True)
+            jax.block_until_ready((fc.data, tc.data))
         # 2) register knee -> atlas (instance optimization)
-        phi_ab, _ = register_pair(
-            pre, atlas, config=reg_cfg, instance_scales=(8, 4, 2), instance_steps=40
-        )
-        jax.block_until_ready(phi_ab.field)
+        with timer.stage("register"):
+            phi_ab, _ = register_pair(
+                pre, atlas, config=reg_cfg, instance_scales=(8, 4, 2), instance_steps=40
+            )
+            jax.block_until_ready(phi_ab.field)
         # 3) warp probability maps onto the atlas grid
-        fc_w = resample_image(fc_prob, atlas, displacement=phi_ab)
-        tc_w = resample_image(tc_prob, atlas, displacement=phi_ab)
-        jax.block_until_ready((fc_w.data, tc_w.data))
+        with timer.stage("warp"):
+            fc_w = resample_image(fc_prob, atlas, displacement=phi_ab)
+            tc_w = resample_image(tc_prob, atlas, displacement=phi_ab)
+            jax.block_until_ready((fc_w.data, tc_w.data))
         # 4) thickness meshes
-        fc_inner, _ = get_thickness_mesh(fc_w, mesh_type="FC")
-        tc_inner, _ = get_thickness_mesh(tc_w, mesh_type="TC")
-        return fc_inner, tc_inner
+        with timer.stage("thickness"):
+            fc_inner, _ = get_thickness_mesh(fc_w, mesh_type="FC")
+            tc_inner, _ = get_thickness_mesh(tc_w, mesh_type="TC")
+        return fc_inner, tc_inner, timer.report()
 
     return one_knee
 
@@ -127,8 +146,15 @@ def main():
     warm = time.time() - t_setup
 
     t0 = time.time()
-    fc_inner, tc_inner = one_knee()
+    fc_inner, tc_inner, stages = one_knee()
     dt = time.time() - t0
+
+    # sanity: an empty mesh means a stage silently produced garbage and the
+    # throughput number would be meaningless
+    assert fc_inner.n_points > 1000 and tc_inner.n_points > 1000, (
+        f"thickness stage produced degenerate meshes "
+        f"({fc_inner.n_points}, {tc_inner.n_points})"
+    )
 
     knees_per_hour = 3600.0 / dt
     result = {
@@ -140,6 +166,7 @@ def main():
         "warmup_seconds": round(warm, 1),
         "fc_mesh_points": int(fc_inner.n_points),
         "tc_mesh_points": int(tc_inner.n_points),
+        "stage_seconds": {k: v["seconds"] for k, v in stages.items()},
     }
     print(json.dumps(result))
 

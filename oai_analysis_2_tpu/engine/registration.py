@@ -81,6 +81,7 @@ def register_pair(
     instance_steps: int = 60,
     instance_scales: Tuple[int, ...] = (8, 4, 2),
     lambda_reg: float = 0.5,
+    diffusion_weight: float = 1.0,
 ) -> Tuple[DisplacementField, DisplacementField]:
     """Register two physical-space images; returns (phi_AB, phi_BA) as
     displacement fields. phi_AB warps A-grid data onto B's grid (it maps
@@ -104,6 +105,7 @@ def register_pair(
             steps_per_scale=instance_steps,
             lncc_window=cfg.lncc_window,
             lambda_reg=lambda_reg,
+            diffusion_weight=diffusion_weight,
         )
 
     # nmap_ab: A-grid coords -> B-grid coords (pullback of B onto A).

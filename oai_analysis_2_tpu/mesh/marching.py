@@ -118,8 +118,30 @@ _TET_PARITY = np.array(
 )
 
 
+def _cube_codes_device(volume, level: float) -> np.ndarray:
+    """Per-cube 8-bit occupancy code computed on the accelerator: bit ci set
+    iff corner ci is above the level. Only the (small) uint8 code array
+    crosses back to host — the host then merely compacts active cubes."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def codes(v):
+        inside = (v > level).astype(jnp.uint8)
+        nx, ny, nz = v.shape
+        c = jnp.zeros((nx - 1, ny - 1, nz - 1), jnp.uint8)
+        for ci in range(8):
+            ox, oy, oz = (int(o) for o in _CORNER_OFFSETS[ci])
+            c = c + (
+                inside[ox : nx - 1 + ox, oy : ny - 1 + oy, oz : nz - 1 + oz] << ci
+            )
+        return c
+
+    return np.asarray(codes(volume))
+
+
 def marching_tetrahedra(
-    volume: np.ndarray,
+    volume,
     level: float = 0.5,
     spacing: Tuple[float, float, float] = (1.0, 1.0, 1.0),
 ) -> Mesh:
@@ -127,21 +149,31 @@ def marching_tetrahedra(
 
     Returns a Mesh with vertices in spacing-scaled index coordinates (xyz),
     normals (implied by winding) pointing toward higher values ("ascent").
+    Accepts a numpy array (host path) or a jax.Array (occupancy codes are
+    then computed on device).
     """
+    import jax
+
+    codes = None
+    if isinstance(volume, jax.Array) and not isinstance(volume, np.ndarray):
+        if min(volume.shape) >= 2:
+            codes = _cube_codes_device(volume, level)
     vol = np.ascontiguousarray(np.asarray(volume, np.float32))
     nx, ny, nz = vol.shape
     if min(nx, ny, nz) < 2:
         return Mesh(np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32))
 
-    inside = vol > level
-
-    # active cubes: any corner differs from corner 0
-    occ = inside[:-1, :-1, :-1]
-    active = np.zeros((nx - 1, ny - 1, nz - 1), bool)
-    for ci in range(1, 8):
-        ox, oy, oz = _CORNER_OFFSETS[ci]
-        corner = inside[ox : nx - 1 + ox, oy : ny - 1 + oy, oz : nz - 1 + oz]
-        active |= corner != occ
+    if codes is not None:
+        active = (codes > 0) & (codes < 255)
+    else:
+        inside = vol > level
+        # active cubes: any corner differs from corner 0
+        occ = inside[:-1, :-1, :-1]
+        active = np.zeros((nx - 1, ny - 1, nz - 1), bool)
+        for ci in range(1, 8):
+            ox, oy, oz = _CORNER_OFFSETS[ci]
+            corner = inside[ox : nx - 1 + ox, oy : ny - 1 + oy, oz : nz - 1 + oz]
+            active |= corner != occ
     cx, cy, cz = np.nonzero(active)
     if len(cx) == 0:
         return Mesh(np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32))

@@ -98,21 +98,34 @@ def _smooth_loop(verts, src, dst, deg, num_iterations: int, n_points: int, relax
 
 def smooth_mesh(mesh: Mesh, num_iterations: int = 150, relaxation: float = 0.01) -> Mesh:
     """Laplacian smoothing, vtkSmoothPolyDataFilter defaults (iterations from
-    caller, relaxation 0.01) — reference mesh_processing.py:298-306."""
+    caller, relaxation 0.01) — reference mesh_processing.py:298-306.
+
+    Vertices/edges are padded to power-of-2 buckets (padding edges point at a
+    dummy vertex) so the jitted loop compiles once per bucket, not per mesh."""
     if mesh.n_points == 0:
         return mesh
+    from oai_analysis_2_tpu.ops.bucketing import bucket_size, pad_rows
+
     src, dst, deg = _adjacency(mesh)
+    nv = bucket_size(mesh.n_points + 1)
+    dummy = nv - 1
+    ne = bucket_size(len(src))
+    verts = pad_rows(mesh.vertices, nv)
+    src_p = pad_rows(src, ne, fill=dummy)
+    dst_p = pad_rows(dst, ne, fill=dummy)
+    deg_p = pad_rows(deg.astype(np.float32), nv)
+
     out = _smooth_loop(
-        jnp.asarray(mesh.vertices),
-        jnp.asarray(src),
-        jnp.asarray(dst),
-        jnp.asarray(deg),
+        jnp.asarray(verts),
+        jnp.asarray(src_p),
+        jnp.asarray(dst_p),
+        jnp.asarray(deg_p),
         int(num_iterations),
-        int(mesh.n_points),
+        int(nv),
         jnp.float32(relaxation),
     )
     res = mesh.copy()
-    res.vertices = np.asarray(out)
+    res.vertices = np.asarray(out)[: mesh.n_points]
     return res
 
 
@@ -155,31 +168,56 @@ def _min_dist2_points_to_tris(points, tri_a, tri_b, tri_c):
     return jax.vmap(one_point)(points)
 
 
-@partial(jax.jit, static_argnames=("point_chunk",))
-def _surface_distance_impl(points, tri_a, tri_b, tri_c, point_chunk: int):
-    n = points.shape[0]
-    pad = (-n) % point_chunk
-    pts = jnp.pad(points, ((0, pad), (0, 0)))
-    chunks = pts.reshape(-1, point_chunk, 3)
+@partial(jax.jit, static_argnames=("point_chunk", "tri_chunk"))
+def _surface_distance_impl(points, tri_a, tri_b, tri_c, point_chunk: int, tri_chunk: int):
+    """Two-level scan (point tiles x triangle tiles) with a running min, so
+    the live intermediate stays (point_chunk, tri_chunk) regardless of mesh
+    size — bounded memory, fully fused tiles."""
+    p_tiles = points.reshape(-1, point_chunk, 3)
+    ta = tri_a.reshape(-1, tri_chunk, 3)
+    tb = tri_b.reshape(-1, tri_chunk, 3)
+    tc = tri_c.reshape(-1, tri_chunk, 3)
 
-    def step(_, chunk):
-        return None, _min_dist2_points_to_tris(chunk, tri_a, tri_b, tri_c)
+    def point_step(_, pc):
+        def tri_step(best, abc):
+            a, b, c = abc
+            d2 = _min_dist2_points_to_tris(pc, a, b, c)
+            return jnp.minimum(best, d2), None
 
-    _, d2 = jax.lax.scan(step, None, chunks)
-    return jnp.sqrt(d2.reshape(-1)[:n])
+        init = jnp.full((point_chunk,), jnp.inf, jnp.float32)
+        best, _ = jax.lax.scan(tri_step, init, (ta, tb, tc))
+        return None, best
+
+    _, d2 = jax.lax.scan(point_step, None, p_tiles)
+    return jnp.sqrt(d2.reshape(-1))
 
 
 def distance_to_surface(points: np.ndarray, target: Mesh, point_chunk: int = 2048) -> np.ndarray:
     """Unsigned distance from each point to the closest point on `target`'s
-    surface (exact point-to-triangle)."""
+    surface (exact point-to-triangle). Triangles are padded to a power-of-2
+    bucket with far-away degenerate triangles so the kernel compiles once per
+    (bucket, chunk), not once per mesh."""
     if target.n_cells == 0 or len(points) == 0:
         return np.zeros(len(points), np.float32)
-    tri = jnp.asarray(target.triangles())
-    d = _surface_distance_impl(
-        jnp.asarray(points, jnp.float32), tri[:, 0], tri[:, 1], tri[:, 2],
-        min(point_chunk, max(64, len(points))),
+    from oai_analysis_2_tpu.ops.bucketing import bucket_size, pad_rows
+    from oai_analysis_2_tpu.ops.pallas_kernels import (
+        pallas_available,
+        point_triangle_distance_pallas,
     )
-    return np.asarray(d)
+
+    if pallas_available():
+        return point_triangle_distance_pallas(points, target.triangles())
+
+    tri_chunk = 8192
+    tri_np = pad_rows(target.triangles().astype(np.float32),
+                      bucket_size(max(target.n_cells, tri_chunk)), fill=1e8)
+    tri = jnp.asarray(tri_np)
+    pts = pad_rows(np.asarray(points, np.float32),
+                   bucket_size(max(len(points), point_chunk)))
+    d = _surface_distance_impl(
+        jnp.asarray(pts), tri[:, 0], tri[:, 1], tri[:, 2], point_chunk, tri_chunk,
+    )
+    return np.asarray(d)[: len(points)]
 
 
 def get_distance(inner_mesh: Mesh, outer_mesh: Mesh):
@@ -197,19 +235,35 @@ def get_distance(inner_mesh: Mesh, outer_mesh: Mesh):
 # -- nearest-neighbor attribute transfer ----------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("chunk",))
-def _nn_indices(query, source, chunk: int):
-    n = query.shape[0]
-    pad = (-n) % chunk
-    q = jnp.pad(query, ((0, pad), (0, 0)))
-    chunks = q.reshape(-1, chunk, 3)
+@partial(jax.jit, static_argnames=("chunk", "src_chunk"))
+def _nn_indices(query, source, chunk: int, src_chunk: int = 8192):
+    """Nearest source index per query point: two-level scan with running
+    (best distance, best index) — bounded memory for any mesh size."""
+    q_tiles = query.reshape(-1, chunk, 3)
+    s_tiles = source.reshape(-1, src_chunk, 3)
+    n_src_tiles = s_tiles.shape[0]
 
-    def step(_, qc):
-        d2 = jnp.sum((qc[:, None, :] - source[None, :, :]) ** 2, axis=-1)
-        return None, jnp.argmin(d2, axis=1)
+    def q_step(_, qc):
+        def s_step(carry, inp):
+            best_d2, best_idx = carry
+            tile_idx, sc = inp
+            d2 = jnp.sum((qc[:, None, :] - sc[None, :, :]) ** 2, axis=-1)
+            local = jnp.argmin(d2, axis=1)
+            local_d2 = jnp.take_along_axis(d2, local[:, None], axis=1)[:, 0]
+            improve = local_d2 < best_d2
+            return (
+                jnp.where(improve, local_d2, best_d2),
+                jnp.where(improve, tile_idx * src_chunk + local, best_idx),
+            ), None
 
-    _, idx = jax.lax.scan(step, None, chunks)
-    return idx.reshape(-1)[:n]
+        init = (jnp.full((chunk,), jnp.inf, jnp.float32), jnp.zeros((chunk,), jnp.int32))
+        (d2, idx), _ = jax.lax.scan(
+            s_step, init, (jnp.arange(n_src_tiles, dtype=jnp.int32), s_tiles)
+        )
+        return None, idx
+
+    _, idx = jax.lax.scan(q_step, None, q_tiles)
+    return idx.reshape(-1)
 
 
 def map_attributes(source_mesh: Mesh, target_mesh: Mesh) -> Mesh:
@@ -217,13 +271,15 @@ def map_attributes(source_mesh: Mesh, target_mesh: Mesh) -> Mesh:
     (reference map_attributes, mesh_processing.py:400-407)."""
     if source_mesh.point_data is None:
         raise ValueError("source mesh has no point_data to transfer")
+    from oai_analysis_2_tpu.ops.bucketing import bucket_size, pad_rows
+
+    src = pad_rows(source_mesh.vertices.astype(np.float32),
+                   bucket_size(max(source_mesh.n_points, 8192)), fill=1e8)
+    query = pad_rows(target_mesh.vertices.astype(np.float32),
+                     bucket_size(max(target_mesh.n_points, 2048)))
     idx = np.asarray(
-        _nn_indices(
-            jnp.asarray(target_mesh.vertices, jnp.float32),
-            jnp.asarray(source_mesh.vertices, jnp.float32),
-            2048,
-        )
-    )
+        _nn_indices(jnp.asarray(query), jnp.asarray(src), 2048)
+    )[: target_mesh.n_points]
     out = target_mesh.copy()
     out.point_data = np.asarray(source_mesh.point_data)[idx]
     return out

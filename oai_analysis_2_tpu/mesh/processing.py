@@ -84,20 +84,32 @@ def get_mesh(
     N.B. the reference ignores its num_iterations argument (hardcodes 150 at
     mesh_processing.py:388) — here the argument is honored.
     """
-    vol_xyz = np.swapaxes(np.asarray(image.data), 0, 2).astype(np.float32)
+    vol_xyz = _as_xyz(image)
     spacing = tuple(float(s) for s in np.asarray(image.spacing))
     raw = marching_tetrahedra(vol_xyz, level=level, spacing=spacing)
     mesh = filter_small_components(raw, filter_threshold)
     return smooth_mesh(mesh, num_iterations=num_iterations)
 
 
+def _as_xyz(image: Image):
+    """[z,y,x] image data -> [x,y,z] volume (reference's swapaxes at
+    mesh_processing.py:329), staying on device when the data is a jax array
+    so marching_tetrahedra can compute occupancy codes there."""
+    import jax
+    import jax.numpy as jnp
+
+    if isinstance(image.data, jax.Array) and not isinstance(image.data, np.ndarray):
+        return jnp.swapaxes(image.data.astype(jnp.float32), 0, 2)
+    return np.swapaxes(np.asarray(image.data), 0, 2).astype(np.float32)
+
+
 def get_mesh_from_probability_map(image: Image, level: float = 0.5) -> Mesh:
     """Alternative extraction path (reference get_mesh_from_probability_map,
     mesh_processing.py:343-349, via itk-cuberille): same iso-surface with
     vertices projected onto the iso-value, no smoothing/filtering."""
-    vol_xyz = np.swapaxes(np.asarray(image.data), 0, 2).astype(np.float32)
-    spacing = tuple(float(s) for s in np.asarray(image.spacing))
-    return marching_tetrahedra(vol_xyz, level=level, spacing=spacing)
+    return marching_tetrahedra(_as_xyz(image), level=level, spacing=tuple(
+        float(s) for s in np.asarray(image.spacing)
+    ))
 
 
 def get_thickness_mesh(

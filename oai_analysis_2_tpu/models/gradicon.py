@@ -109,7 +109,7 @@ def lncc(a: jax.Array, b: jax.Array, win: int = 5, eps: float = 1e-5) -> jax.Arr
     return 1.0 - jnp.mean(cc)
 
 
-def make_similarity(kind: str = "lncc", lncc_window: int = 5, mse_weight: float = 30.0):
+def make_similarity(kind: str = "lncc", lncc_window: int = 5, mse_weight: float = 10.0):
     """Similarity factory. "lncc" is contrast-invariant (the GradICON paper's
     choice); "lncc+mse" adds a weighted intensity term — stronger capture
     range for same-modality pairs (DESS knee vs DESS atlas), the default of
@@ -271,13 +271,19 @@ def register_pair_instance(
     lr: float = 0.05,
     lncc_window: int = 5,
     lambda_reg: float = 0.5,
+    diffusion_weight: float = 1.0,
     similarity: str = "lncc+mse",
     verbose: bool = False,
 ):
     """Symmetric multiscale instance-optimization registration.
 
     Optimizes per-scale displacement fields for both directions jointly with
-    LNCC similarity + GradICON inverse-consistency, coarse to fine. Returns
+    LNCC(+MSE) similarity + GradICON inverse-consistency + a diffusion
+    (first-difference) smoothness term, coarse to fine. The diffusion term is
+    essential in instance mode: raw per-voxel fields can satisfy inverse
+    consistency with mutually-inverse-but-wild deformations that shred thin
+    structures; a network parameterization regularizes implicitly, a raw
+    field does not. Returns
     (phi_ab, phi_ba) coordinate maps on a's grid shape; b(phi_ab(x)) ~= a(x).
 
     This is the out-of-the-box registration path (the reference requires a
@@ -313,7 +319,8 @@ def register_pair_instance(
             pba = compose(base_ba, ident_s + p["u_ba"])
             sim = sim_fn(a_s, warp(b_s, pab)) + sim_fn(b_s, warp(a_s, pba))
             reg = gradicon_penalty(pab, pba)
-            return sim + lambda_reg * reg
+            smooth = diffusion_penalty(pab) + diffusion_penalty(pba)
+            return sim + lambda_reg * reg + diffusion_weight * smooth
 
         optimizer = optax.adam(lr)
         opt_state = optimizer.init(params)

@@ -5,8 +5,9 @@ The reference fixes random_state=5 purely for run-to-run determinism; the
 downstream inner/outer assignment is re-derived from a geometric orientation
 heuristic (mean +y normal, mesh_processing.py:214, 236), so label *identity*
 does not matter — only a deterministic, well-converged 2-way partition.
-Here: deterministic k-means++-style farthest-point seeding + Lloyd until
-convergence, fully jitted (fixed iteration count, masked updates).
+Here: deterministic farthest-point seeding + Lloyd for a fixed iteration
+count, fully jitted. Inputs are padded to power-of-2 buckets with zero
+weights so the kernel compiles once per bucket, not once per mesh.
 """
 
 from __future__ import annotations
@@ -17,15 +18,19 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from oai_analysis_2_tpu.ops.bucketing import bucket_size, pad_rows
+
 
 @partial(jax.jit, static_argnames=("k", "n_iter"))
-def _kmeans_impl(x: jax.Array, k: int, n_iter: int):
-    n = x.shape[0]
+def _kmeans_impl(x: jax.Array, w: jax.Array, k: int, n_iter: int):
+    """x: (N, D) padded features; w: (N,) 1.0 for real rows, 0.0 for padding."""
+    neg = -jnp.inf
 
-    # deterministic farthest-point init: start at the point farthest from the
-    # mean, then greedily add the point farthest from chosen centers.
-    mean = jnp.mean(x, axis=0)
-    first = jnp.argmax(jnp.sum((x - mean) ** 2, axis=1))
+    # deterministic farthest-point init among real rows
+    total = jnp.maximum(jnp.sum(w), 1.0)
+    mean = jnp.sum(x * w[:, None], axis=0) / total
+    d2m = jnp.sum((x - mean) ** 2, axis=1)
+    first = jnp.argmax(jnp.where(w > 0, d2m, neg))
     centers0 = jnp.zeros((k, x.shape[1]), x.dtype).at[0].set(x[first])
 
     def add_center(i, centers):
@@ -34,18 +39,17 @@ def _kmeans_impl(x: jax.Array, k: int, n_iter: int):
             + jnp.where(jnp.arange(k)[None, :] < i, 0.0, jnp.inf),
             axis=1,
         )
-        return centers.at[i].set(x[jnp.argmax(d2)])
+        return centers.at[i].set(x[jnp.argmax(jnp.where(w > 0, d2, neg))])
 
     centers = jax.lax.fori_loop(1, k, add_center, centers0)
 
     def lloyd(_, centers):
         d2 = jnp.sum((x[:, None, :] - centers[None, :, :]) ** 2, axis=-1)
         labels = jnp.argmin(d2, axis=1)
-        onehot = jax.nn.one_hot(labels, k, dtype=x.dtype)  # (n, k)
-        counts = jnp.sum(onehot, axis=0)  # (k,)
-        sums = onehot.T @ x  # (k, dim)
-        new = jnp.where(counts[:, None] > 0, sums / jnp.maximum(counts[:, None], 1.0), centers)
-        return new
+        onehot = jax.nn.one_hot(labels, k, dtype=x.dtype) * w[:, None]
+        counts = jnp.sum(onehot, axis=0)
+        sums = onehot.T @ x
+        return jnp.where(counts[:, None] > 0, sums / jnp.maximum(counts[:, None], 1.0), centers)
 
     centers = jax.lax.fori_loop(0, n_iter, lloyd, centers)
     d2 = jnp.sum((x[:, None, :] - centers[None, :, :]) ** 2, axis=-1)
@@ -53,6 +57,13 @@ def _kmeans_impl(x: jax.Array, k: int, n_iter: int):
 
 
 def kmeans(x: np.ndarray, k: int = 2, n_iter: int = 50):
-    """Returns (labels (n,), centers (k, dim)). Deterministic."""
-    labels, centers = _kmeans_impl(jnp.asarray(x, jnp.float32), int(k), int(n_iter))
-    return np.asarray(labels), np.asarray(centers)
+    """Returns (labels (n,), centers (k, dim)). Deterministic; compiles once
+    per (bucket, dim, k)."""
+    x = np.asarray(x, np.float32)
+    n = len(x)
+    nb = bucket_size(n)
+    xp = pad_rows(x, nb)
+    w = np.zeros(nb, np.float32)
+    w[:n] = 1.0
+    labels, centers = _kmeans_impl(jnp.asarray(xp), jnp.asarray(w), int(k), int(n_iter))
+    return np.asarray(labels)[:n], np.asarray(centers)

@@ -108,3 +108,31 @@ class TestPhysicalFacade:
         before = float(np.mean((np.asarray(resample_image(a_img, b_img).data) - target) ** 2))
         after = float(np.mean((np.asarray(warped.data) - target) ** 2))
         assert after < 0.5 * before
+
+
+class TestGradICONTraining:
+    def test_train_step_reduces_loss(self):
+        import jax
+        import optax
+
+        from oai_analysis_2_tpu.models.gradicon import (
+            GradICON,
+            GradICONConfig,
+            make_gradicon_train_step,
+        )
+
+        cfg = GradICONConfig(grid_shape=(8, 16, 16), scales=(2, 1), stage_width=2)
+        model = GradICON(cfg)
+        params = model.init(jax.random.PRNGKey(0))
+        opt = optax.adam(1e-3)
+        opt_state = opt.init(params)
+        step = make_gradicon_train_step(model, opt)
+
+        a = jnp.stack([jnp.asarray(_blob(cfg.grid_shape, (4, 8, 8)))])
+        b = jnp.stack([jnp.asarray(_blob(cfg.grid_shape, (4, 8, 10)))])
+        losses = []
+        for _ in range(4):
+            params, opt_state, loss = step(params, opt_state, a, b)
+            losses.append(float(loss))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
