@@ -47,11 +47,11 @@ def build_pipeline():
     from oai_analysis_2_tpu.core.image import image_from_array
     from oai_analysis_2_tpu.engine.registration import register_pair
     from oai_analysis_2_tpu.engine.segmenter import Segmenter3DInPatchClassWise
-    from oai_analysis_2_tpu.mesh.processing import get_thickness_mesh
+    from oai_analysis_2_tpu.mesh.processing import get_thickness_meshes
     from oai_analysis_2_tpu.models.gradicon import GradICONConfig
     from oai_analysis_2_tpu.models.unet3d import NETWORK_SPECS, UNet3D
     from oai_analysis_2_tpu.ops.intensity import percentile_window
-    from oai_analysis_2_tpu.ops.resample import resample_image
+    from oai_analysis_2_tpu.ops.resample import resample_image, resample_images
     from oai_analysis_2_tpu.utils.checkpoint import save_checkpoint
     import json as _json
     import tempfile
@@ -121,18 +121,18 @@ def build_pipeline():
         # 2) register knee -> atlas (instance optimization)
         with timer.stage("register"):
             phi_ab, _ = register_pair(
-                pre, atlas, config=reg_cfg, instance_scales=(8, 4, 2), instance_steps=40
+                pre, atlas, config=reg_cfg, instance_scales=(8, 4, 2), instance_steps=(60, 40, 24)
             )
             jax.block_until_ready(phi_ab.field)
         # 3) warp probability maps onto the atlas grid
         with timer.stage("warp"):
-            fc_w = resample_image(fc_prob, atlas, displacement=phi_ab)
-            tc_w = resample_image(tc_prob, atlas, displacement=phi_ab)
+            fc_w, tc_w = resample_images([fc_prob, tc_prob], atlas, displacement=phi_ab)
             jax.block_until_ready((fc_w.data, tc_w.data))
         # 4) thickness meshes
         with timer.stage("thickness"):
-            fc_inner, _ = get_thickness_mesh(fc_w, mesh_type="FC")
-            tc_inner, _ = get_thickness_mesh(tc_w, mesh_type="TC")
+            (fc_inner, _), (tc_inner, _) = get_thickness_meshes(
+                [fc_w, tc_w], ["FC", "TC"]
+            )
         return fc_inner, tc_inner, timer.report()
 
     return one_knee

@@ -20,11 +20,11 @@ from oai_analysis_2_tpu.core.image import Image
 from oai_analysis_2_tpu.core.nifti import read_nifti
 from oai_analysis_2_tpu.engine.registration import register_pair
 from oai_analysis_2_tpu.engine.segmenter import Segmenter3DInPatchClassWise
-from oai_analysis_2_tpu.mesh.processing import get_thickness_mesh
+from oai_analysis_2_tpu.mesh.processing import get_thickness_mesh, get_thickness_meshes
 from oai_analysis_2_tpu.mesh.types import Mesh
 from oai_analysis_2_tpu.models.gradicon import GradICONConfig
 from oai_analysis_2_tpu.ops.intensity import percentile_window
-from oai_analysis_2_tpu.ops.resample import resample_image
+from oai_analysis_2_tpu.ops.resample import resample_image, resample_images
 from oai_analysis_2_tpu.utils.profiling import StageTimer
 
 
@@ -48,7 +48,7 @@ class KneePipeline:
         atlas_image: Image,
         registration_config: Optional[GradICONConfig] = None,
         instance_scales: Tuple[int, ...] = (8, 4, 2),
-        instance_steps: int = 60,
+        instance_steps=(60, 40, 24),
         normalize: bool = True,
     ):
         self.segmenter = segmenter
@@ -80,14 +80,13 @@ class KneePipeline:
             jax.block_until_ready(phi_ab.field)
 
         with timer.stage("warp"):
-            fc_w = resample_image(fc, self.atlas, displacement=phi_ab)
-            tc_w = resample_image(tc, self.atlas, displacement=phi_ab)
+            fc_w, tc_w = resample_images([fc, tc], self.atlas, displacement=phi_ab)
             jax.block_until_ready((fc_w.data, tc_w.data))
 
-        with timer.stage("thickness_fc"):
-            fc_inner, fc_outer = get_thickness_mesh(fc_w, mesh_type="FC")
-        with timer.stage("thickness_tc"):
-            tc_inner, tc_outer = get_thickness_mesh(tc_w, mesh_type="TC")
+        with timer.stage("thickness"):
+            (fc_inner, fc_outer), (tc_inner, tc_outer) = get_thickness_meshes(
+                [fc_w, tc_w], ["FC", "TC"]
+            )
 
         return KneeResult(
             fc_probmap=fc_w,

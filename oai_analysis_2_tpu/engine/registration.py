@@ -78,7 +78,7 @@ def register_pair(
     model: Optional[GradICON] = None,
     params: Optional[List[dict]] = None,
     config: Optional[GradICONConfig] = None,
-    instance_steps: int = 60,
+    instance_steps=60,  # int or per-scale schedule
     instance_scales: Tuple[int, ...] = (8, 4, 2),
     lambda_reg: float = 0.5,
     diffusion_weight: float = 1.0,
@@ -128,7 +128,7 @@ class ICON_Registration:
         self,
         mode: str = "instance",
         config: Optional[GradICONConfig] = None,
-        instance_steps: int = 60,
+        instance_steps=60,  # int or per-scale schedule
         instance_scales: Tuple[int, ...] = (8, 4, 2),
         verbose: bool = False,
     ):

@@ -1,6 +1,7 @@
 from oai_analysis_2_tpu.mesh.types import Mesh
 from oai_analysis_2_tpu.mesh.marching import marching_tetrahedra
 from oai_analysis_2_tpu.mesh.processing import (
+    get_thickness_meshes,
     get_cell_centroid,
     get_cell_normals,
     get_distance,
@@ -22,6 +23,7 @@ __all__ = [
     "get_mesh",
     "get_mesh_from_probability_map",
     "get_thickness_mesh",
+    "get_thickness_meshes",
     "map_attributes",
     "project_thickness",
     "smooth_mesh",

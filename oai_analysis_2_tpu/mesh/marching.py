@@ -154,18 +154,17 @@ def marching_tetrahedra(
     """
     import jax
 
-    codes = None
-    if isinstance(volume, jax.Array) and not isinstance(volume, np.ndarray):
-        if min(volume.shape) >= 2:
-            codes = _cube_codes_device(volume, level)
-    vol = np.ascontiguousarray(np.asarray(volume, np.float32))
-    nx, ny, nz = vol.shape
+    device_input = isinstance(volume, jax.Array) and not isinstance(volume, np.ndarray)
+    nx, ny, nz = volume.shape
     if min(nx, ny, nz) < 2:
         return Mesh(np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32))
 
-    if codes is not None:
+    if device_input:
+        # occupancy codes on device; only the uint8 code array crosses to host
+        codes = _cube_codes_device(volume, level)
         active = (codes > 0) & (codes < 255)
     else:
+        vol = np.ascontiguousarray(np.asarray(volume, np.float32))
         inside = vol > level
         # active cubes: any corner differs from corner 0
         occ = inside[:-1, :-1, :-1]
@@ -179,14 +178,26 @@ def marching_tetrahedra(
         return Mesh(np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32))
 
     # gather 8 corner values and global corner ids per active cube
-    stride_y, stride_z = nz, 1  # linear id = x*ny*nz + y*nz + z
-    base_id = (cx * ny + cy) * nz + cz
     corner_ids = np.empty((len(cx), 8), np.int64)
-    corner_vals = np.empty((len(cx), 8), np.float32)
     for ci in range(8):
         ox, oy, oz = _CORNER_OFFSETS[ci]
         corner_ids[:, ci] = ((cx + ox) * ny + (cy + oy)) * nz + (cz + oz)
-        corner_vals[:, ci] = vol[cx + ox, cy + oy, cz + oz]
+    if device_input:
+        # gather the active corner values on device: avoids transferring (and
+        # host-transposing) the full volume; (M, 8) floats come back instead
+        import jax.numpy as jnp
+
+        from oai_analysis_2_tpu.ops.bucketing import bucket_size, pad_rows
+
+        flat = volume.astype(jnp.float32).reshape(-1)
+        m = corner_ids.shape[0]
+        ids = pad_rows(corner_ids.reshape(-1, 1).astype(np.int32), bucket_size(8 * m))
+        corner_vals = np.asarray(jnp.take(flat, jnp.asarray(ids[:, 0])))[: 8 * m].reshape(m, 8)
+    else:
+        corner_vals = np.empty((len(cx), 8), np.float32)
+        for ci in range(8):
+            ox, oy, oz = _CORNER_OFFSETS[ci]
+            corner_vals[:, ci] = vol[cx + ox, cy + oy, cz + oz]
 
     # per-tet processing, fully vectorized over (cube, tet)
     tet_vert_local = _TETS  # (6, 4) cube-corner index per tet vertex

@@ -85,6 +85,9 @@ def _adjacency(mesh: Mesh):
 
 @partial(jax.jit, static_argnames=("num_iterations", "n_points"))
 def _smooth_loop(verts, src, dst, deg, num_iterations: int, n_points: int, relaxation):
+    """Edge-list Laplacian iteration (gather + segment-sum). Measured faster
+    on TPU than a padded (N, K) neighbor-table gather, which moves ~K/avg_deg
+    times more data."""
     inv_deg = jnp.where(deg > 0, 1.0 / jnp.maximum(deg, 1.0), 0.0)[:, None]
     movable = (deg > 0)[:, None]
 
@@ -110,16 +113,11 @@ def smooth_mesh(mesh: Mesh, num_iterations: int = 150, relaxation: float = 0.01)
     nv = bucket_size(mesh.n_points + 1)
     dummy = nv - 1
     ne = bucket_size(len(src))
-    verts = pad_rows(mesh.vertices, nv)
-    src_p = pad_rows(src, ne, fill=dummy)
-    dst_p = pad_rows(dst, ne, fill=dummy)
-    deg_p = pad_rows(deg.astype(np.float32), nv)
-
     out = _smooth_loop(
-        jnp.asarray(verts),
-        jnp.asarray(src_p),
-        jnp.asarray(dst_p),
-        jnp.asarray(deg_p),
+        jnp.asarray(pad_rows(mesh.vertices, nv)),
+        jnp.asarray(pad_rows(src, ne, fill=dummy)),
+        jnp.asarray(pad_rows(dst, ne, fill=dummy)),
+        jnp.asarray(pad_rows(deg.astype(np.float32), nv)),
         int(num_iterations),
         int(nv),
         jnp.float32(relaxation),
@@ -127,6 +125,29 @@ def smooth_mesh(mesh: Mesh, num_iterations: int = 150, relaxation: float = 0.01)
     res = mesh.copy()
     res.vertices = np.asarray(out)[: mesh.n_points]
     return res
+
+
+def smooth_meshes(meshes, num_iterations: int = 150, relaxation: float = 0.01):
+    """Smooth several meshes in ONE jitted loop via their disjoint union —
+    Laplacian smoothing never crosses components, so the union is exact and
+    the sequential-iteration cost is paid once for all meshes."""
+    meshes = [m for m in meshes]
+    if not meshes:
+        return []
+    offsets = np.cumsum([0] + [m.n_points for m in meshes])
+    union = Mesh(
+        np.concatenate([m.vertices for m in meshes]),
+        np.concatenate(
+            [m.faces + offsets[i] for i, m in enumerate(meshes)]
+        ).astype(np.int32),
+    )
+    smoothed = smooth_mesh(union, num_iterations, relaxation)
+    out = []
+    for i, m in enumerate(meshes):
+        r = m.copy()
+        r.vertices = smoothed.vertices[offsets[i] : offsets[i + 1]]
+        out.append(r)
+    return out
 
 
 # -- exact point-to-triangle distance ------------------------------------------------

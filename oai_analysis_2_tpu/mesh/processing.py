@@ -120,3 +120,30 @@ def get_thickness_mesh(
     mesh = get_mesh(image, num_iterations=num_iterations)
     inner_mesh, outer_mesh = split_mesh(mesh, mesh_type)
     return get_distance(inner_mesh, outer_mesh)
+
+
+def get_thickness_meshes(
+    images,
+    mesh_types,
+    num_iterations: int = 150,
+    level: float = 0.5,
+    filter_threshold: int = 3000,
+):
+    """Batched variant for multiple tissues of one knee (FC + TC): surfaces
+    are extracted per map but Laplacian-smoothed as ONE disjoint union (the
+    sequential 150-iteration loop is the latency floor of the thickness
+    stage — paying it once halves it). Returns [(inner, outer), ...]."""
+    from oai_analysis_2_tpu.mesh.ops import smooth_meshes
+
+    raws = []
+    for image in images:
+        vol_xyz = _as_xyz(image)
+        spacing = tuple(float(s) for s in np.asarray(image.spacing))
+        raw = marching_tetrahedra(vol_xyz, level=level, spacing=spacing)
+        raws.append(filter_small_components(raw, filter_threshold))
+    smoothed = smooth_meshes(raws, num_iterations=num_iterations)
+    out = []
+    for mesh, mesh_type in zip(smoothed, mesh_types):
+        inner, outer = split_mesh(mesh, mesh_type)
+        out.append(get_distance(inner, outer))
+    return out

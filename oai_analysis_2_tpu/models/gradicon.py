@@ -88,23 +88,29 @@ def resize_field(phi: jax.Array, shape_zyx: Tuple[int, int, int]) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+def _box_sum(x: jax.Array, win: int) -> jax.Array:
+    """Separable 3D box-filter sum (3 x win taps instead of win^3), SAME."""
+    for axis in range(3):
+        window = [1, 1, 1]
+        window[axis] = win
+        x = lax.reduce_window(x, 0.0, lax.add, tuple(window), (1, 1, 1), "SAME")
+    return x
+
+
 def _box_mean(x: jax.Array, win: int) -> jax.Array:
     """Box-filter mean over a (D,H,W) volume, SAME padding."""
-    s = lax.reduce_window(x, 0.0, lax.add, (win, win, win), (1, 1, 1), "SAME")
-    n = lax.reduce_window(
-        jnp.ones_like(x), 0.0, lax.add, (win, win, win), (1, 1, 1), "SAME"
-    )
-    return s / n
+    return _box_sum(x, win) / _box_sum(jnp.ones_like(x), win)
 
 
 def lncc(a: jax.Array, b: jax.Array, win: int = 5, eps: float = 1e-5) -> jax.Array:
     """1 - mean local normalized cross-correlation (the similarity used by the
-    reference's pretrained OAI model)."""
-    mu_a = _box_mean(a, win)
-    mu_b = _box_mean(b, win)
-    var_a = _box_mean(a * a, win) - mu_a * mu_a
-    var_b = _box_mean(b * b, win) - mu_b * mu_b
-    cov = _box_mean(a * b, win) - mu_a * mu_b
+    reference's pretrained OAI model). All window sums are separable."""
+    cnt = _box_sum(jnp.ones_like(a), win)
+    mu_a = _box_sum(a, win) / cnt
+    mu_b = _box_sum(b, win) / cnt
+    var_a = _box_sum(a * a, win) / cnt - mu_a * mu_a
+    var_b = _box_sum(b * b, win) / cnt - mu_b * mu_b
+    cov = _box_sum(a * b, win) / cnt - mu_a * mu_b
     cc = (cov * cov) / (var_a * var_b + eps)
     return 1.0 - jnp.mean(cc)
 
@@ -267,7 +273,8 @@ def register_pair_instance(
     a: jax.Array,
     b: jax.Array,
     scales: Sequence[int] = (8, 4, 2),
-    steps_per_scale: int = 60,
+    steps_per_scale=60,  # int, or one count per scale (finer scales cost
+    # ~8x more per step — front-load the coarse scales)
     lr: float = 0.05,
     lncc_window: int = 5,
     lambda_reg: float = 0.5,
@@ -293,6 +300,8 @@ def register_pair_instance(
     import optax
 
     sim_fn = make_similarity(similarity, lncc_window)
+    if isinstance(steps_per_scale, int):
+        steps_per_scale = [steps_per_scale] * len(scales)
     full_shape = a.shape
     ident_full = identity_map(full_shape)
 
@@ -305,7 +314,7 @@ def register_pair_instance(
     phi_ab = ident_full
     phi_ba = ident_full
 
-    for scale in scales:
+    for scale, n_steps in zip(scales, steps_per_scale):
         a_s, b_s = pyramid(a, scale), pyramid(b, scale)
         shape_s = a_s.shape
         ident_s = identity_map(shape_s)
@@ -331,7 +340,7 @@ def register_pair_instance(
             updates, opt_state = optimizer.update(g, opt_state, params)
             return optax.apply_updates(params, updates), opt_state, l
 
-        for i in range(steps_per_scale):
+        for i in range(n_steps):
             params, opt_state, l = opt_step(params, opt_state)
             if verbose and i % 20 == 0:
                 print(f"scale {scale} step {i}: loss {float(l):.4f}")

@@ -158,3 +158,33 @@ def resample_with_displacement(
     """Alias matching the reference's deform_probmap call shape
     (dask_processing.py:95-111)."""
     return resample_image(moving, reference, displacement)
+
+
+def resample_images(
+    movings,
+    reference: Image,
+    displacement: Optional[DisplacementField] = None,
+    outside_value: float = 0.0,
+):
+    """Warp several same-grid volumes in one fused pass: the output grid,
+    displacement sampling, and gather indices are computed once and the
+    sources gathered as channels (FC+TC probmaps share a knee grid — two
+    separate resamples do all that work twice)."""
+    first = movings[0]
+    stacked = jnp.stack([m.data for m in movings], axis=-1)
+    pts = physical_grid(
+        reference.data.shape, reference.origin, reference.spacing, reference.direction
+    )
+    if displacement is not None:
+        pts = pts + sample_displacement(displacement, pts)
+    idx_zyx = first.physical_to_indices(pts)[..., ::-1]
+    warped = _trilinear_gather(stacked, idx_zyx, outside_value)
+    return [
+        Image(
+            data=warped[..., c].astype(movings[c].data.dtype),
+            origin=reference.origin,
+            spacing=reference.spacing,
+            direction=reference.direction,
+        )
+        for c in range(len(movings))
+    ]

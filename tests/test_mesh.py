@@ -223,3 +223,30 @@ class TestThicknessEndToEnd:
         assert inner.n_points > 50 and outer.n_points > 50
         d = np.concatenate([inner.point_data, outer.point_data])
         assert 3.0 < np.median(d) < 5.0
+
+
+class TestBatchedThickness:
+    def test_union_smoothing_matches_individual(self):
+        from oai_analysis_2_tpu.mesh.ops import smooth_mesh, smooth_meshes
+
+        vol1 = _ball_volume(20, r=6, center=(10, 10, 10))
+        vol2 = _ball_volume(16, r=5, center=(8, 8, 8))
+        m1 = marching_tetrahedra(vol1, 0.5)
+        m2 = marching_tetrahedra(vol2, 0.5)
+        joint = smooth_meshes([m1, m2], num_iterations=30)
+        solo1 = smooth_mesh(m1, num_iterations=30)
+        solo2 = smooth_mesh(m2, num_iterations=30)
+        np.testing.assert_allclose(joint[0].vertices, solo1.vertices, atol=1e-4)
+        np.testing.assert_allclose(joint[1].vertices, solo2.vertices, atol=1e-4)
+
+    def test_get_thickness_meshes_batch(self):
+        from oai_analysis_2_tpu.mesh.processing import get_thickness_meshes
+
+        vol = np.zeros((24, 24, 24), np.float32)
+        vol[:, :, 10:14] = 1.0
+        img = image_from_array(vol)
+        results = get_thickness_meshes([img, img], ["TC", "TC"], num_iterations=20)
+        assert len(results) == 2
+        (i1, o1), (i2, o2) = results
+        assert i1.n_points > 50
+        np.testing.assert_allclose(i1.point_data, i2.point_data, atol=1e-5)

@@ -170,3 +170,41 @@ class TestCohortRunner:
         summary2 = runner2.run(["a", "bad", "c"])
         assert "a" not in calls and "c" not in calls
         assert summary2["done"] == 2
+
+
+class TestSampler:
+    def test_balanced_patch_sampler(self):
+        from oai_analysis_2_tpu.engine.sampling import BalancedPatchSampler
+
+        rng = np.random.default_rng(0)
+        vol = rng.uniform(0, 1, (20, 30, 30)).astype(np.float32)
+        lab = np.zeros((20, 30, 30, 2), np.float32)
+        lab[8:12, 10:20, 10:20, 0] = 1.0
+        sampler = BalancedPatchSampler(
+            [vol], [lab], patch_size_zyx=(8, 16, 16), batch_size=4,
+            foreground_fraction=1.0,
+        )
+        imgs, segs = next(sampler)
+        assert imgs.shape == (4, 8, 16, 16, 1)
+        assert segs.shape == (4, 8, 16, 16, 2)
+        # all foreground-centered patches contain foreground
+        assert all(segs[i].sum() > 0 for i in range(4))
+
+    def test_sampler_trains(self):
+        import jax
+        import optax
+
+        from oai_analysis_2_tpu.engine.sampling import BalancedPatchSampler
+        from oai_analysis_2_tpu.engine.training import train_segmentation
+        from oai_analysis_2_tpu.models.unet3d import NETWORK_SPECS, UNet3D
+
+        rng = np.random.default_rng(1)
+        vol = rng.uniform(0, 1, (8, 16, 16)).astype(np.float32)
+        lab = np.zeros((8, 16, 16, 2), np.float32)
+        lab[:, 4:12, 4:12, 0] = 1.0
+        sampler = BalancedPatchSampler([vol], [lab], (4, 8, 8), batch_size=2)
+        model = UNet3D(NETWORK_SPECS["UNet_light4"])
+        params, _, losses = train_segmentation(
+            model, iter(sampler), num_steps=4, learning_rate=1e-2
+        )
+        assert np.isfinite(losses).all()
