@@ -145,9 +145,14 @@ def main():
     one_knee()
     warm = time.time() - t_setup
 
-    t0 = time.time()
-    fc_inner, tc_inner, stages = one_knee()
-    dt = time.time() - t0
+    # median of 3 steady-state knees — the TPU tunnel's throughput varies
+    # run-to-run, so a single sample is noisy
+    samples = []
+    for _ in range(3):
+        t0 = time.time()
+        fc_inner, tc_inner, stages = one_knee()
+        samples.append(time.time() - t0)
+    dt = sorted(samples)[1]
 
     # sanity: an empty mesh means a stage silently produced garbage and the
     # throughput number would be meaningless
@@ -163,6 +168,7 @@ def main():
         "unit": "knees/hour/chip",
         "vs_baseline": round(knees_per_hour / BASELINE_KNEES_PER_HOUR, 2),
         "seconds_per_knee": round(dt, 2),
+        "knee_samples": [round(s, 1) for s in samples],
         "warmup_seconds": round(warm, 1),
         "fc_mesh_points": int(fc_inner.n_points),
         "tc_mesh_points": int(tc_inner.n_points),

@@ -246,17 +246,17 @@ def make_gradicon_train_step(model: GradICON, optimizer):
 
     a, b: (N, D, H, W) volume pairs on the registration grid."""
 
+    import optax
+
     def step(params, opt_state, a, b):
         def batch_loss(p):
             def one(a1, b1):
-                l, aux = model.loss(p, a1, b1)
+                l, _ = model.loss(p, a1, b1)
                 return l
 
             return jnp.mean(jax.vmap(one)(a, b))
 
         loss_val, grads = jax.value_and_grad(batch_loss)(params)
-        import optax
-
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss_val

@@ -7,7 +7,9 @@ from oai_analysis_2_tpu.ops.intensity import (
 )
 from oai_analysis_2_tpu.ops.tiling import Partition
 from oai_analysis_2_tpu.ops.resample import (
+    DisplacementField,
     resample_image,
+    resample_images,
     resample_with_displacement,
     sample_at_physical_points,
 )
@@ -19,7 +21,9 @@ __all__ = [
     "normalize_image",
     "percentile_window",
     "Partition",
+    "DisplacementField",
     "resample_image",
+    "resample_images",
     "resample_with_displacement",
     "sample_at_physical_points",
 ]

@@ -77,18 +77,19 @@ class Partition:
         )
         padded = jnp.pad(volume, pad_width, mode=self.padding_mode)
 
-        # One gather: index arrays (g_axis, tile_axis) per axis.
-        ax_idx = [
-            np.arange(g)[:, None] * e + np.arange(t)[None, :]
-            for g, e, t in zip(grid, eff, self.tile_size)
-        ]
-        iz, iy, ix = (jnp.asarray(a) for a in ax_idx)
-        tiles = padded[
-            iz[:, None, None, :, None, None],
-            iy[None, :, None, None, :, None],
-            ix[None, None, :, None, None, :],
-        ]  # (gz, gy, gx, tz, ty, tx)
-        return tiles.reshape((-1,) + self.tile_size)
+        # The tile grid is static at trace time, so extraction is a stack of
+        # static slices — contiguous copies XLA handles at memcpy speed
+        # (a single big gather measured far slower on TPU).
+        tz, ty, tx = self.tile_size
+        tiles = []
+        for i in range(grid[0]):
+            for j in range(grid[1]):
+                for k in range(grid[2]):
+                    z0, y0, x0 = i * eff[0], j * eff[1], k * eff[2]
+                    tiles.append(
+                        padded[z0 : z0 + tz, y0 : y0 + ty, x0 : x0 + tx]
+                    )
+        return jnp.stack(tiles, axis=0)
 
     # -- inverse: tiles -> volume --------------------------------------------------
 

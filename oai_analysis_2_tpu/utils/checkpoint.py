@@ -225,3 +225,22 @@ def weight_from_truth(truths: jnp.ndarray, n_classes: int) -> jnp.ndarray:
     counts = jnp.array([jnp.sum(truths == c) for c in range(n_classes)], jnp.float32)
     ratio_inv = jnp.where(counts > 0, total / jnp.maximum(counts, 1), 0.0)
     return ratio_inv / jnp.sum(ratio_inv)
+
+
+# -- orbax backend (optional; for large sharded registration nets) ---------------
+
+
+def save_checkpoint_orbax(state: dict, path) -> None:
+    """Persist a pytree state with orbax (async-capable, shardable — suited
+    to multi-host GradICON training); npz remains the default format."""
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(str(Path(path).resolve()), state)
+
+
+def load_checkpoint_orbax(path) -> dict:
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        return ckptr.restore(str(Path(path).resolve()))

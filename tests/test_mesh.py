@@ -250,3 +250,23 @@ class TestBatchedThickness:
         (i1, o1), (i2, o2) = results
         assert i1.n_points > 50
         np.testing.assert_allclose(i1.point_data, i2.point_data, atol=1e-5)
+
+
+class TestDeviceHostMarchingParity:
+    def test_device_path_matches_host(self):
+        """The device emission orders vertices by sorted (lo, hi) edge key —
+        the same order as the host np.unique path — so outputs must match
+        exactly."""
+        import jax.numpy as jnp
+
+        vol = _ball_volume(20, r=6)
+        host = marching_tetrahedra(vol, 0.5, spacing=(0.5, 1.0, 2.0))
+        for emission in (False, True):
+            dev = marching_tetrahedra(
+                jnp.asarray(vol), 0.5, spacing=(0.5, 1.0, 2.0),
+                device_emission=emission,
+            )
+            assert dev.n_points == host.n_points
+            assert dev.n_cells == host.n_cells
+            np.testing.assert_allclose(dev.vertices, host.vertices, atol=1e-5)
+            np.testing.assert_array_equal(dev.faces, host.faces)
