@@ -1,0 +1,73 @@
+"""Command-line interface.
+
+The reference ships no CLI (SURVEY.md §1); this provides one for the common
+operations:
+
+    python -m oai_analysis_2_tpu segment  <image.nii.gz> [-o out_dir]
+    python -m oai_analysis_2_tpu pipeline <image.nii.gz> [-o out_dir]
+    python -m oai_analysis_2_tpu cohort   <dir_of_volumes> [-o out_dir]
+    python -m oai_analysis_2_tpu bench
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="oai_analysis_2_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    for name in ("segment", "pipeline"):
+        p = sub.add_parser(name)
+        p.add_argument("image", type=Path)
+        p.add_argument("-o", "--output", type=Path, default=Path(f"{name}_output"))
+
+    p = sub.add_parser("cohort")
+    p.add_argument("directory", type=Path)
+    p.add_argument("-o", "--output", type=Path, default=Path("cohort_output"))
+
+    sub.add_parser("bench")
+
+    args = parser.parse_args(argv)
+
+    if args.cmd == "bench":
+        import bench  # repo-root bench when run from a checkout
+
+        bench.main()
+        return
+
+    from oai_analysis_2_tpu import AnalysisObject
+    from oai_analysis_2_tpu.core.nifti import read_nifti, write_nifti
+
+    obj = AnalysisObject()
+    args.output.mkdir(parents=True, exist_ok=True)
+
+    if args.cmd == "segment":
+        image = read_nifti(args.image)
+        fc, tc = obj.segment(image)
+        write_nifti(fc, args.output / "FC_probmap.nii.gz")
+        write_nifti(tc, args.output / "TC_probmap.nii.gz")
+        print("wrote", args.output)
+    elif args.cmd == "pipeline":
+        from oai_analysis_2_tpu.engine.pipeline import KneePipeline
+
+        pipe = KneePipeline(obj.segmenter, obj.atlas_image)
+        meta = pipe.run_path(args.image, output_dir=args.output)
+        print(meta)
+    elif args.cmd == "cohort":
+        from oai_analysis_2_tpu.engine.pipeline import KneePipeline
+        from oai_analysis_2_tpu.parallel.cohort import CohortRunner
+
+        volumes = sorted(args.directory.glob("*.nii.gz"))
+        pipe = KneePipeline(obj.segmenter, obj.atlas_image)
+        runner = CohortRunner(
+            lambda p: pipe.run_path(p, output_dir=args.output),
+            manifest_path=args.output / "manifest.json",
+        )
+        print(runner.run(volumes, keys=[v.name for v in volumes]))
+
+
+if __name__ == "__main__":
+    main()

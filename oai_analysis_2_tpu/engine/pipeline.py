@@ -47,7 +47,7 @@ class KneePipeline:
         segmenter: Segmenter3DInPatchClassWise,
         atlas_image: Image,
         registration_config: Optional[GradICONConfig] = None,
-        instance_scales: Tuple[int, ...] = (8, 4, 2),
+        instance_scales: Tuple[int, ...] = (4, 2, 1),
         instance_steps=(60, 40, 24),
         normalize: bool = True,
     ):

@@ -79,7 +79,7 @@ def register_pair(
     params: Optional[List[dict]] = None,
     config: Optional[GradICONConfig] = None,
     instance_steps=60,  # int or per-scale schedule
-    instance_scales: Tuple[int, ...] = (8, 4, 2),
+    instance_scales: Tuple[int, ...] = (4, 2, 1),
     lambda_reg: float = 0.5,
     diffusion_weight: float = 1.0,
 ) -> Tuple[DisplacementField, DisplacementField]:
@@ -129,7 +129,7 @@ class ICON_Registration:
         mode: str = "instance",
         config: Optional[GradICONConfig] = None,
         instance_steps=60,  # int or per-scale schedule
-        instance_scales: Tuple[int, ...] = (8, 4, 2),
+        instance_scales: Tuple[int, ...] = (4, 2, 1),
         verbose: bool = False,
     ):
         self.mode = mode

@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import abc
 import math
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

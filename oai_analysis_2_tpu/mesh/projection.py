@@ -75,3 +75,34 @@ def project_thickness(
     y2d = np.concatenate([emb_right[:, 1] + 50.0, emb_left[:, 1]])
     th = np.concatenate([thickness[idx_right], thickness[idx_left]])
     return x2d, y2d, th
+
+
+def rasterize_thickness(
+    x2d: np.ndarray,
+    y2d: np.ndarray,
+    thickness: np.ndarray,
+    grid_size: Tuple[int, int] = (128, 128),
+    bounds=None,
+):
+    """Average scattered projected thickness onto a regular 2D grid.
+
+    The reference stops at scatter data (FullDemo plots the raw points);
+    cohort statistics need a common raster: this bins the projected points
+    and returns (mean_map (H, W), count_map (H, W), (xmin, xmax, ymin, ymax)).
+    Accumulating count/sum maps across a cohort yields population-mean
+    thickness atlases.
+    """
+    x2d = np.asarray(x2d, np.float64)
+    y2d = np.asarray(y2d, np.float64)
+    thickness = np.asarray(thickness, np.float64)
+    if bounds is None:
+        bounds = (x2d.min(), x2d.max(), y2d.min(), y2d.max())
+    xmin, xmax, ymin, ymax = bounds
+    h, w = grid_size
+    xi = np.clip(((x2d - xmin) / max(xmax - xmin, 1e-12) * (w - 1)).astype(int), 0, w - 1)
+    yi = np.clip(((y2d - ymin) / max(ymax - ymin, 1e-12) * (h - 1)).astype(int), 0, h - 1)
+    flat = yi * w + xi
+    sums = np.bincount(flat, weights=thickness, minlength=h * w).reshape(h, w)
+    counts = np.bincount(flat, minlength=h * w).reshape(h, w)
+    mean = np.divide(sums, counts, out=np.zeros_like(sums), where=counts > 0)
+    return mean.astype(np.float32), counts.astype(np.int32), bounds

@@ -177,7 +177,10 @@ def _stage_spec(width: int = 16) -> UNetSpec:
 
 @dataclasses.dataclass(frozen=True)
 class GradICONConfig:
-    grid_shape: Tuple[int, int, int] = (80, 192, 192)  # net grid, z,y,x
+    # Registration grid: the finest scale actually optimized. A 2x finer
+    # grid with scales starting at 2 is mathematically identical but does all
+    # full-grid composes/resizes at 8x the voxel count for nothing.
+    grid_shape: Tuple[int, int, int] = (40, 96, 96)  # net grid, z,y,x
     scales: Tuple[int, ...] = (4, 2, 1)  # coarse-to-fine downsample factors
     stage_width: int = 16
     lncc_window: int = 5
@@ -340,10 +343,24 @@ def register_pair_instance(
             updates, opt_state = optimizer.update(g, opt_state, params)
             return optax.apply_updates(params, updates), opt_state, l
 
-        for i in range(n_steps):
-            params, opt_state, l = opt_step(params, opt_state)
-            if verbose and i % 20 == 0:
-                print(f"scale {scale} step {i}: loss {float(l):.4f}")
+        if verbose:
+            for i in range(n_steps):
+                params, opt_state, l = opt_step(params, opt_state)
+                if i % 20 == 0:
+                    print(f"scale {scale} step {i}: loss {float(l):.4f}")
+        else:
+            # the whole scale's Adam loop runs as ONE device program —
+            # per-step host dispatches are pure overhead on tunneled chips
+            @partial(jax.jit, static_argnames=("steps",))
+            def run_scale(params, opt_state, steps: int):
+                def body(_, carry):
+                    p, o = carry
+                    p2, o2, _ = opt_step(p, o)
+                    return (p2, o2)
+
+                return jax.lax.fori_loop(0, steps, body, (params, opt_state))
+
+            params, opt_state = run_scale(params, opt_state, n_steps)
 
         phi_ab = resize_field(compose(base_ab, ident_s + params["u_ab"]), full_shape)
         phi_ba = resize_field(compose(base_ba, ident_s + params["u_ba"]), full_shape)

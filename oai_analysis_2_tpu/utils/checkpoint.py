@@ -19,7 +19,6 @@ Layout conversions (torch NCDHW modules -> our NDHWC functional model):
 from __future__ import annotations
 
 import json
-import shutil
 from pathlib import Path
 from typing import Dict, Optional, Tuple
 

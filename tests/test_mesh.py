@@ -270,3 +270,18 @@ class TestDeviceHostMarchingParity:
             assert dev.n_cells == host.n_cells
             np.testing.assert_allclose(dev.vertices, host.vertices, atol=1e-5)
             np.testing.assert_array_equal(dev.faces, host.faces)
+
+
+class TestRasterize:
+    def test_rasterize_thickness(self):
+        from oai_analysis_2_tpu.mesh.projection import rasterize_thickness
+
+        rng = np.random.default_rng(0)
+        x = rng.uniform(-1, 1, 500)
+        y = rng.uniform(0, 2, 500)
+        th = 2.0 * np.ones(500)
+        mean, counts, bounds = rasterize_thickness(x, y, th, grid_size=(16, 16))
+        assert mean.shape == (16, 16)
+        assert counts.sum() == 500
+        filled = mean[counts > 0]
+        np.testing.assert_allclose(filled, 2.0, atol=1e-6)
