@@ -121,7 +121,7 @@ def build_pipeline():
         # 2) register knee -> atlas (instance optimization)
         with timer.stage("register"):
             phi_ab, _ = register_pair(
-                pre, atlas, config=reg_cfg, instance_scales=(4, 2, 1), instance_steps=(60, 40, 24)
+                pre, atlas, config=reg_cfg, instance_scales=(4, 2, 1), instance_steps=(80, 60, 40)
             )
             jax.block_until_ready(phi_ab.field)
         # 3) warp probability maps onto the atlas grid

@@ -11,6 +11,11 @@ Usage:
 import sys
 from pathlib import Path
 
+# allow running from a source checkout without installation
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+
 
 def main():
     in_dir = Path(sys.argv[1])

@@ -14,6 +14,11 @@ via OAI_TPU_DATA_DIR — see oai_analysis_2_tpu/utils/data.py).
 import sys
 from pathlib import Path
 
+# allow running from a source checkout without installation
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+
 import numpy as np
 
 

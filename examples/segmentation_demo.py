@@ -5,6 +5,12 @@ Usage:
 """
 
 import sys
+from pathlib import Path
+
+# allow running from a source checkout without installation
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
 import time
 from pathlib import Path
 

@@ -48,7 +48,7 @@ class KneePipeline:
         atlas_image: Image,
         registration_config: Optional[GradICONConfig] = None,
         instance_scales: Tuple[int, ...] = (4, 2, 1),
-        instance_steps=(60, 40, 24),
+        instance_steps=(80, 60, 40),
         normalize: bool = True,
     ):
         self.segmenter = segmenter

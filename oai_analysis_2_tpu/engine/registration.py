@@ -78,10 +78,10 @@ def register_pair(
     model: Optional[GradICON] = None,
     params: Optional[List[dict]] = None,
     config: Optional[GradICONConfig] = None,
-    instance_steps=60,  # int or per-scale schedule
+    instance_steps=(80, 60, 40),  # int or per-scale schedule
     instance_scales: Tuple[int, ...] = (4, 2, 1),
     lambda_reg: float = 0.5,
-    diffusion_weight: float = 1.0,
+    diffusion_weight: float = 0.3,
 ) -> Tuple[DisplacementField, DisplacementField]:
     """Register two physical-space images; returns (phi_AB, phi_BA) as
     displacement fields. phi_AB warps A-grid data onto B's grid (it maps
@@ -128,7 +128,7 @@ class ICON_Registration:
         self,
         mode: str = "instance",
         config: Optional[GradICONConfig] = None,
-        instance_steps=60,  # int or per-scale schedule
+        instance_steps=(80, 60, 40),  # int or per-scale schedule
         instance_scales: Tuple[int, ...] = (4, 2, 1),
         verbose: bool = False,
     ):

@@ -278,10 +278,13 @@ def register_pair_instance(
     scales: Sequence[int] = (8, 4, 2),
     steps_per_scale=60,  # int, or one count per scale (finer scales cost
     # ~8x more per step — front-load the coarse scales)
-    lr: float = 0.05,
+    lr: float = 1.2,  # in VOXELS of the current scale per Adam step (Adam
+    # normalizes gradients, so the step size ~ lr); converted per scale to
+    # normalized-coordinate units — a fixed normalized lr would take steps
+    # proportional to the physical volume size, diverging on large grids
     lncc_window: int = 5,
     lambda_reg: float = 0.5,
-    diffusion_weight: float = 1.0,
+    diffusion_weight: float = 0.3,
     similarity: str = "lncc+mse",
     verbose: bool = False,
 ):
@@ -334,7 +337,8 @@ def register_pair_instance(
             smooth = diffusion_penalty(pab) + diffusion_penalty(pba)
             return sim + lambda_reg * reg + diffusion_weight * smooth
 
-        optimizer = optax.adam(lr)
+        lr_norm = lr / float(max(shape_s))
+        optimizer = optax.adam(lr_norm)
         opt_state = optimizer.init(params)
 
         @jax.jit

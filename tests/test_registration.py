@@ -67,7 +67,7 @@ class TestInstanceRegistration:
         b = _blob(shape, (8, 16, 20))  # shifted +4 in x
         before = float(np.mean((a - b) ** 2))
         phi_ab, phi_ba = register_pair_instance(
-            jnp.asarray(a), jnp.asarray(b), scales=(4, 2), steps_per_scale=40, lr=0.05
+            jnp.asarray(a), jnp.asarray(b), scales=(4, 2), steps_per_scale=40
         )
         warped_b = np.asarray(warp(jnp.asarray(b), phi_ab))
         after = float(np.mean((a - warped_b) ** 2))
