@@ -332,7 +332,11 @@ def register_pair_instance(
         def loss_fn(p, base_ab=base_ab, base_ba=base_ba, a_s=a_s, b_s=b_s, ident_s=ident_s):
             pab = compose(base_ab, ident_s + p["u_ab"])
             pba = compose(base_ba, ident_s + p["u_ba"])
-            sim = sim_fn(a_s, warp(b_s, pab)) + sim_fn(b_s, warp(a_s, pba))
+            # image warps (the dominant gathers) in bf16; LNCC statistics,
+            # penalties and the fields themselves stay f32
+            wb = warp(b_s.astype(jnp.bfloat16), pab).astype(jnp.float32)
+            wa = warp(a_s.astype(jnp.bfloat16), pba).astype(jnp.float32)
+            sim = sim_fn(a_s, wb) + sim_fn(b_s, wa)
             reg = gradicon_penalty(pab, pba)
             smooth = diffusion_penalty(pab) + diffusion_penalty(pba)
             return sim + lambda_reg * reg + diffusion_weight * smooth
