@@ -1,0 +1,247 @@
+"""True marching-cubes iso-surface extraction (256-case, cube-edge vertices).
+
+The drop-in replacement for skimage.measure.marching_cubes on the reference's
+live path (mesh_processing.py:325-340): vertices lie on cube edges with
+linear interpolation and spacing-scaled [x,y,z] coordinates, normals point
+toward higher values ("ascent"). Produces reference-sized meshes
+(FC ~65k / TC ~20.5k points, test_all.py:69-70) — marching tetrahedra
+(mesh/marching.py, kept as the validated cross-oracle) emits ~2x the
+triangles for the same surface.
+
+Two execution paths:
+  * host (numpy) — mirrors mesh/marching.py's vectorized host emission;
+  * device (default for jax-array inputs) — the WHOLE extraction runs as two
+    jitted programs on the TPU. Vertex dedup is direct-addressed instead of
+    sorted: an MC vertex exists iff a grid edge changes sign, so vertex ids
+    are exclusive-cumsum ranks over the flattened crossing-edge masks and
+    face indices are pure gathers of those ranks. Only the final compact
+    (verts, faces) arrays cross the tunnel (~2 MB) instead of the ~60 MB
+    per-cube code volume the host path ships — this removes the round-1
+    "~4 s/tissue host tail" from the thickness stage.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import numpy as np
+
+from oai_analysis_2_tpu.mesh.mc_table import (
+    EDGE_CORNERS,
+    MC_MAX_TRIS,
+    MC_TRI_COUNT,
+    MC_TRI_TABLE,
+)
+from oai_analysis_2_tpu.mesh.marching import _CORNER_OFFSETS
+from oai_analysis_2_tpu.mesh.types import Mesh
+
+# Per cube-edge id: the in-cube offset of the edge's base lattice point.
+# x-edges: (0, k&1, k>>1); y-edges: (k&1, 0, k>>1); z-edges: (k&1, k>>1, 0).
+_EDGE_BASE_OFFSET = np.zeros((12, 3), np.int64)
+for _e in range(12):
+    _axis, _k = _e // 4, _e % 4
+    _off = [0, 0, 0]
+    _others = [a for a in range(3) if a != _axis]
+    _off[_others[0]] = _k & 1
+    _off[_others[1]] = _k >> 1
+    _EDGE_BASE_OFFSET[_e] = _off
+
+
+def _host_codes(inside: np.ndarray) -> np.ndarray:
+    nx, ny, nz = inside.shape
+    codes = np.zeros((nx - 1, ny - 1, nz - 1), np.uint8)
+    for ci in range(8):
+        ox, oy, oz = _CORNER_OFFSETS[ci]
+        codes |= inside[ox : nx - 1 + ox, oy : ny - 1 + oy, oz : nz - 1 + oz].astype(np.uint8) << ci
+    return codes
+
+
+def _marching_cubes_host(vol: np.ndarray, level: float, spacing) -> Mesh:
+    nx, ny, nz = vol.shape
+    inside = vol > level
+    codes = _host_codes(inside)
+    cx, cy, cz = np.nonzero((codes > 0) & (codes < 255))
+    if len(cx) == 0:
+        return Mesh(np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32))
+    codes_a = codes[cx, cy, cz]
+
+    tri_edges = MC_TRI_TABLE[codes_a].astype(np.int64)  # (M, MAXT, 3)
+    m, t = np.nonzero(tri_edges[..., 0] >= 0)
+    edges = tri_edges[m, t]  # (T, 3) cube-edge ids
+
+    # global corner ids of each triangle vertex's edge endpoints
+    base = np.stack([cx, cy, cz], axis=-1)  # (M, 3)
+    pair = EDGE_CORNERS[edges]  # (T, 3, 2)
+    ca = _CORNER_OFFSETS[pair[..., 0]] + base[m][:, None, :]  # (T, 3, 3)
+    cb = _CORNER_OFFSETS[pair[..., 1]] + base[m][:, None, :]
+    ga = (ca[..., 0] * ny + ca[..., 1]) * nz + ca[..., 2]
+    gb = (cb[..., 0] * ny + cb[..., 1]) * nz + cb[..., 2]
+    flat = vol.reshape(-1)
+    va, vb = flat[ga], flat[gb]
+
+    # dedup edge-vertices by (min, max) global corner ids — identical tail to
+    # marching.py's tet path
+    lo, hi = np.minimum(ga, gb), np.maximum(ga, gb)
+    keys = (lo.astype(np.int64) * (nx * ny * nz) + hi).reshape(-1)
+    uniq_keys, faces_flat = np.unique(keys, return_inverse=True)
+    faces = faces_flat.reshape(-1, 3).astype(np.int32)
+
+    first = np.zeros(len(uniq_keys), np.int64)
+    first[faces_flat] = np.arange(keys.size)
+    ga_f, gb_f = ga.reshape(-1)[first], gb.reshape(-1)[first]
+    va_f, vb_f = va.reshape(-1)[first], vb.reshape(-1)[first]
+    denom = vb_f - va_f
+    tvals = np.clip(
+        np.where(np.abs(denom) > 1e-20, (level - va_f) / np.where(denom == 0, 1, denom), 0.5),
+        0.0,
+        1.0,
+    )
+
+    def id_to_xyz(gid):
+        x = gid // (ny * nz)
+        rem = gid % (ny * nz)
+        return np.stack([x, rem // nz, rem % nz], axis=-1).astype(np.float32)
+
+    verts = id_to_xyz(ga_f) + tvals[:, None] * (id_to_xyz(gb_f) - id_to_xyz(ga_f))
+    verts *= np.asarray(spacing, np.float32)[None, :]
+    return Mesh(verts, faces)
+
+
+# -- device path -------------------------------------------------------------
+
+
+@functools.cache
+def _device_fns():
+    import jax
+    import jax.numpy as jnp
+
+    tri_count_lut = jnp.asarray(MC_TRI_COUNT.astype(np.int32))
+    tri_table = jnp.asarray(MC_TRI_TABLE.astype(np.int32))  # (256, MAXT, 3)
+    edge_base = jnp.asarray(_EDGE_BASE_OFFSET.astype(np.int32))  # (12, 3)
+
+    def _codes(inside):
+        nx, ny, nz = inside.shape
+        c = jnp.zeros((nx - 1, ny - 1, nz - 1), jnp.uint8)
+        for ci in range(8):
+            ox, oy, oz = (int(o) for o in _CORNER_OFFSETS[ci])
+            c = c + (inside[ox : nx - 1 + ox, oy : ny - 1 + oy, oz : nz - 1 + oz] << ci)
+        return c
+
+    @jax.jit
+    def count(vol, level):
+        inside = (vol > level).astype(jnp.uint8)
+        n_vx = jnp.sum(inside[:-1, :, :] != inside[1:, :, :])
+        n_vy = jnp.sum(inside[:, :-1, :] != inside[:, 1:, :])
+        n_vz = jnp.sum(inside[:, :, :-1] != inside[:, :, 1:])
+        codes = _codes(inside)
+        active = (codes > 0) & (codes < 255)
+        n_tris = jnp.sum(tri_count_lut[codes.astype(jnp.int32)])
+        return n_vx + n_vy + n_vz, jnp.sum(active), n_tris
+
+    @functools.partial(jax.jit, static_argnames=("vb", "mb", "tb"))
+    def extract(vol, level, spacing, vb: int, mb: int, tb: int):
+        nx, ny, nz = vol.shape
+        inside = (vol > level).astype(jnp.uint8)
+        cross = [
+            (inside[:-1, :, :] != inside[1:, :, :]).reshape(-1),
+            (inside[:, :-1, :] != inside[:, 1:, :]).reshape(-1),
+            (inside[:, :, :-1] != inside[:, :, 1:]).reshape(-1),
+        ]
+        sizes = [c.size for c in cross]
+        offs = [0, sizes[0], sizes[0] + sizes[1]]
+        mask_all = jnp.concatenate(cross)
+        # vertex id of every crossing grid edge = its exclusive-cumsum rank
+        rank_all = jnp.cumsum(mask_all.astype(jnp.int32)) - mask_all.astype(jnp.int32)
+
+        # ---- vertices: compact the crossing edges, interpolate ----
+        (vidx,) = jnp.nonzero(mask_all, size=vb, fill_value=0)
+        axis = jnp.where(vidx >= offs[2], 2, jnp.where(vidx >= offs[1], 1, 0))
+        local = vidx - jnp.take(jnp.asarray(offs), axis)
+        shapes = jnp.asarray(
+            [[nx - 1, ny, nz], [nx, ny - 1, nz], [nx, ny, nz - 1]], jnp.int32
+        )
+        sh = shapes[axis]  # (vb, 3)
+        i0 = local // (sh[:, 1] * sh[:, 2])
+        rem = local % (sh[:, 1] * sh[:, 2])
+        p0 = jnp.stack([i0, rem // sh[:, 2], rem % sh[:, 2]], axis=-1)  # (vb, 3)
+        p1 = p0 + (jnp.arange(3)[None, :] == axis[:, None]).astype(p0.dtype)
+        flat = vol.reshape(-1)
+        g0 = (p0[:, 0] * ny + p0[:, 1]) * nz + p0[:, 2]
+        g1 = (p1[:, 0] * ny + p1[:, 1]) * nz + p1[:, 2]
+        va, vbv = flat[g0], flat[g1]
+        denom = vbv - va
+        tv = jnp.clip(
+            jnp.where(jnp.abs(denom) > 1e-20, (level - va) / jnp.where(denom == 0, 1.0, denom), 0.5),
+            0.0,
+            1.0,
+        )
+        verts = (p0.astype(jnp.float32) + tv[:, None] * (p1 - p0).astype(jnp.float32)) * spacing[None, :]
+
+        # ---- faces: compact active cubes, then valid triangle slots ----
+        codes = _codes(inside)
+        active = ((codes > 0) & (codes < 255)).reshape(-1)
+        (cube_idx,) = jnp.nonzero(active, size=mb, fill_value=0)
+        ccode = codes.reshape(-1)[cube_idx].astype(jnp.int32)
+        # padded slots may alias cube 0; mask by validity below
+        cvalid = active[cube_idx]
+        tris = tri_table[ccode]  # (mb, MAXT, 3)
+        slot_valid = (tris[..., 0] >= 0) & cvalid[:, None]  # (mb, MAXT)
+        (tslot,) = jnp.nonzero(slot_valid.reshape(-1), size=tb, fill_value=0)
+        tvalid = slot_valid.reshape(-1)[tslot]
+        tcube = cube_idx[tslot // MC_MAX_TRIS]
+        tedges = tris.reshape(-1, 3)[tslot]  # (tb, 3) cube-edge ids
+
+        ncy, ncz = ny - 1, nz - 1
+        cpos = jnp.stack(
+            [tcube // (ncy * ncz), (tcube // ncz) % ncy, tcube % ncz], axis=-1
+        ).astype(jnp.int32)  # (tb, 3)
+        eaxis = tedges // 4  # (tb, 3)
+        ebase = cpos[:, None, :] + edge_base[tedges]  # (tb, 3, 3)
+        esh = shapes[eaxis]  # (tb, 3, 3)
+        elin = (ebase[..., 0] * esh[..., 1] + ebase[..., 1]) * esh[..., 2] + ebase[..., 2]
+        egid = elin + jnp.take(jnp.asarray(offs), eaxis)
+        faces = rank_all[egid] * jnp.where(tvalid, 1, 0)[:, None]  # (tb, 3)
+        return verts, faces, tvalid
+
+    return count, extract
+
+
+def _marching_cubes_device(vol, level: float, spacing) -> Mesh:
+    import jax.numpy as jnp
+
+    from oai_analysis_2_tpu.ops.bucketing import bucket_size
+
+    count, extract = _device_fns()
+    n_verts, n_active, n_tris = (int(x) for x in count(vol, jnp.float32(level)))
+    if n_tris == 0:
+        return Mesh(np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32))
+    vb = bucket_size(max(n_verts, 256))
+    mb = bucket_size(max(n_active, 256))
+    tb = bucket_size(max(n_tris, 256))
+    sp = jnp.asarray(np.asarray(spacing, np.float32))
+    verts, faces, tvalid = extract(vol, jnp.float32(level), sp, vb, mb, tb)
+    return Mesh(
+        np.asarray(verts[:n_verts]),
+        np.asarray(faces[:n_tris], np.int32),
+    )
+
+
+def marching_cubes(
+    volume,
+    level: float = 0.5,
+    spacing: Tuple[float, float, float] = (1.0, 1.0, 1.0),
+) -> Mesh:
+    """Extract the `level` iso-surface of a 3D array indexed [x, y, z].
+
+    Same contract as mesh/marching.py:marching_tetrahedra (spacing-scaled
+    xyz index coordinates, ascent orientation); triangles per the 256-case
+    MC table. jax-array inputs run entirely on device."""
+    import jax
+
+    if min(volume.shape) < 2:
+        return Mesh(np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32))
+    if isinstance(volume, jax.Array) and not isinstance(volume, np.ndarray):
+        return _marching_cubes_device(volume.astype("float32"), level, spacing)
+    vol = np.ascontiguousarray(np.asarray(volume, np.float32))
+    return _marching_cubes_host(vol, level, spacing)

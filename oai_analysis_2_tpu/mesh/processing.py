@@ -15,6 +15,7 @@ import numpy as np
 from oai_analysis_2_tpu.core.image import Image
 from oai_analysis_2_tpu.mesh.components import filter_small_components
 from oai_analysis_2_tpu.mesh.marching import marching_tetrahedra
+from oai_analysis_2_tpu.mesh.marching_cubes import marching_cubes
 from oai_analysis_2_tpu.mesh.ops import (
     face_centroids,
     face_normals,
@@ -70,23 +71,36 @@ def get_vtk_mesh(verts: np.ndarray, faces: np.ndarray, filter_threshold: int = 3
     return filter_small_components(Mesh(verts, faces), filter_threshold)
 
 
+def _extract(vol_xyz, level, spacing, method: str) -> Mesh:
+    if method == "mc":
+        return marching_cubes(vol_xyz, level=level, spacing=spacing)
+    if method == "tets":
+        return marching_tetrahedra(vol_xyz, level=level, spacing=spacing)
+    raise ValueError(f"unknown iso-surface method {method!r} (use 'mc' or 'tets')")
+
+
 def get_mesh(
     image: Image,
     num_iterations: int = 150,
     level: float = 0.5,
     filter_threshold: int = 3000,
+    method: str = "mc",
 ) -> Mesh:
     """Probability map -> smoothed surface mesh (reference get_mesh,
     mesh_processing.py:325-340): iso-surface at 0.5 on the [x,y,z]-indexed
     array with spacing-scaled coordinates and ascent orientation, small-
     component removal, then Laplacian smoothing.
 
+    `method`: "mc" (default) = true marching cubes, reference-sized meshes
+    (the reference's skimage Lewiner MC, mesh_processing.py:332); "tets" =
+    marching tetrahedra (the validated cross-oracle, ~2-3x the triangles).
+
     N.B. the reference ignores its num_iterations argument (hardcodes 150 at
     mesh_processing.py:388) — here the argument is honored.
     """
     vol_xyz = _as_xyz(image)
     spacing = tuple(float(s) for s in np.asarray(image.spacing))
-    raw = marching_tetrahedra(vol_xyz, level=level, spacing=spacing)
+    raw = _extract(vol_xyz, level, spacing, method)
     mesh = filter_small_components(raw, filter_threshold)
     return smooth_mesh(mesh, num_iterations=num_iterations)
 
@@ -103,21 +117,21 @@ def _as_xyz(image: Image):
     return np.swapaxes(np.asarray(image.data), 0, 2).astype(np.float32)
 
 
-def get_mesh_from_probability_map(image: Image, level: float = 0.5) -> Mesh:
+def get_mesh_from_probability_map(image: Image, level: float = 0.5, method: str = "mc") -> Mesh:
     """Alternative extraction path (reference get_mesh_from_probability_map,
     mesh_processing.py:343-349, via itk-cuberille): same iso-surface with
     vertices projected onto the iso-value, no smoothing/filtering."""
-    return marching_tetrahedra(_as_xyz(image), level=level, spacing=tuple(
+    return _extract(_as_xyz(image), level, tuple(
         float(s) for s in np.asarray(image.spacing)
-    ))
+    ), method)
 
 
 def get_thickness_mesh(
-    image: Image, mesh_type: str = "FC", num_iterations: int = 150
+    image: Image, mesh_type: str = "FC", num_iterations: int = 150, method: str = "mc"
 ) -> Tuple[Mesh, Mesh]:
     """Probability map -> (inner, outer) meshes with per-point thickness
     scalars (reference get_thickness_mesh, mesh_processing.py:381-395)."""
-    mesh = get_mesh(image, num_iterations=num_iterations)
+    mesh = get_mesh(image, num_iterations=num_iterations, method=method)
     inner_mesh, outer_mesh = split_mesh(mesh, mesh_type)
     return get_distance(inner_mesh, outer_mesh)
 
@@ -128,6 +142,7 @@ def get_thickness_meshes(
     num_iterations: int = 150,
     level: float = 0.5,
     filter_threshold: int = 3000,
+    method: str = "mc",
 ):
     """Batched variant for multiple tissues of one knee (FC + TC): surfaces
     are extracted per map but Laplacian-smoothed as ONE disjoint union (the
@@ -139,7 +154,7 @@ def get_thickness_meshes(
     for image in images:
         vol_xyz = _as_xyz(image)
         spacing = tuple(float(s) for s in np.asarray(image.spacing))
-        raw = marching_tetrahedra(vol_xyz, level=level, spacing=spacing)
+        raw = _extract(vol_xyz, level, spacing, method)
         raws.append(filter_small_components(raw, filter_threshold))
     smoothed = smooth_meshes(raws, num_iterations=num_iterations)
     out = []

@@ -179,13 +179,17 @@ def _stage_spec(width: int = 16) -> UNetSpec:
 class GradICONConfig:
     # Registration grid: the finest scale actually optimized. A 2x finer
     # grid with scales starting at 2 is mathematically identical but does all
-    # full-grid composes/resizes at 8x the voxel count for nothing.
-    grid_shape: Tuple[int, int, int] = (40, 96, 96)  # net grid, z,y,x
+    # full-grid composes/resizes at 8x the voxel count for nothing. Every
+    # dim must be divisible by (max scale x 4) so the per-scale stage UNets
+    # (two 2x pools) see even shapes at the coarsest scale.
+    grid_shape: Tuple[int, int, int] = (48, 96, 96)  # net grid, z,y,x
     scales: Tuple[int, ...] = (4, 2, 1)  # coarse-to-fine downsample factors
     stage_width: int = 16
     lncc_window: int = 5
     lambda_reg: float = 1.5
     displacement_scale: float = 0.2  # max fraction of the volume per stage
+    similarity: str = "lncc"  # training similarity; "lncc+mse" adds capture
+    mse_weight: float = 10.0  # range for same-modality normalized volumes
 
 
 class GradICON:
@@ -236,12 +240,30 @@ class GradICON:
 
     def loss(self, params_list, a, b):
         cfg = self.config
+        sim_fn = make_similarity(cfg.similarity, cfg.lncc_window, cfg.mse_weight)
         phi_ab, phi_ba = self.both_maps(params_list, a, b)
-        sim = lncc(a, warp(b, phi_ab), cfg.lncc_window) + lncc(
-            b, warp(a, phi_ba), cfg.lncc_window
-        )
+        sim = sim_fn(a, warp(b, phi_ab)) + sim_fn(b, warp(a, phi_ba))
         reg = gradicon_penalty(phi_ab, phi_ba)
         return sim + cfg.lambda_reg * reg, (sim, reg, phi_ab, phi_ba)
+
+
+def default_gradicon_weights_path():
+    """Path of the weights shipped with the package (the TPU-native analog of
+    the reference's pretrained `OAI_knees_gradICON_model(pretrained=True)`
+    download, registration.py:20) — present iff training has produced them."""
+    from pathlib import Path
+
+    return Path(__file__).resolve().parent.parent / "weights" / "gradicon.npz"
+
+
+def load_gradicon_params(path=None) -> List[dict]:
+    """Load a GradICON stage-params list from a native npz checkpoint written
+    by `save_checkpoint({"params": {"stage{i}": ...}})`."""
+    from oai_analysis_2_tpu.utils.checkpoint import load_checkpoint
+
+    path = default_gradicon_weights_path() if path is None else path
+    stages = load_checkpoint(path)["params"]
+    return [stages[f"stage{i}"] for i in range(len(stages))]
 
 
 def make_gradicon_train_step(model: GradICON, optimizer):

@@ -168,10 +168,16 @@ def _init_bn(cout, dtype=jnp.float32):
 
 def conv3d(x: jax.Array, p: dict, padding="SAME", precision=None) -> jax.Array:
     k = p["kernel"].astype(x.dtype)
+    # f32 accumulation is requested via preferred_element_type for f32 inputs;
+    # for bf16 inputs the conv stays bf16-in/bf16-out (the MXU still
+    # accumulates in f32 internally) because jax's conv transpose rule cannot
+    # differentiate a mixed bf16-operand/f32-output conv — the result is
+    # upcast explicitly instead.
+    pet = jnp.float32 if x.dtype == jnp.float32 else None
     y = lax.conv_general_dilated(
         x, k, window_strides=(1, 1, 1), padding=padding, dimension_numbers=_CONV_DN,
-        preferred_element_type=jnp.float32, precision=precision,
-    )
+        preferred_element_type=pet, precision=precision,
+    ).astype(jnp.float32)
     if "bias" in p:
         y = y + p["bias"].astype(jnp.float32)
     return y
@@ -183,8 +189,9 @@ def upconv2x(x: jax.Array, p: dict, precision=None) -> jax.Array:
     n, d, h, wd, cin = x.shape
     cout = w.shape[-1]
     wm = w.transpose(3, 0, 1, 2, 4).reshape(cin, 8 * cout)
-    y = jnp.einsum("ndhwc,ck->ndhwk", x, wm.reshape(cin, 8 * cout),
-                   preferred_element_type=jnp.float32, precision=precision)
+    pet = jnp.float32 if x.dtype == jnp.float32 else None
+    y = jnp.einsum("ndhwc,ck->ndhwk", x, wm,
+                   preferred_element_type=pet, precision=precision).astype(jnp.float32)
     y = y.reshape(n, d, h, wd, 2, 2, 2, cout)
     y = y.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(n, 2 * d, 2 * h, 2 * wd, cout)
     if "bias" in p:

@@ -1,0 +1,156 @@
+"""True marching-cubes tests: table invariants, sphere phantoms, host/device
+parity, and MC-vs-tets cross-oracle agreement (geometry and thickness)."""
+
+import numpy as np
+import pytest
+
+from oai_analysis_2_tpu.core.image import image_from_array
+from oai_analysis_2_tpu.mesh.marching import marching_tetrahedra
+from oai_analysis_2_tpu.mesh.marching_cubes import marching_cubes
+from oai_analysis_2_tpu.mesh.mc_table import EDGE_CORNERS, MC_TRI_COUNT, MC_TRI_TABLE
+
+
+def _ball(n=32, r=10.0):
+    g = np.arange(n, dtype=np.float32)
+    x, y, z = np.meshgrid(g, g, g, indexing="ij")
+    return (r - np.sqrt((x - n / 2) ** 2 + (y - n / 2) ** 2 + (z - n / 2) ** 2)).astype(
+        np.float32
+    )
+
+
+def _edge_counts(mesh):
+    e = np.concatenate(
+        [mesh.faces[:, [0, 1]], mesh.faces[:, [1, 2]], mesh.faces[:, [2, 0]]], axis=0
+    )
+    e = np.sort(e, axis=1)
+    _, counts = np.unique(e, axis=0, return_counts=True)
+    return counts
+
+
+class TestTable:
+    def test_empty_and_full_codes(self):
+        assert MC_TRI_COUNT[0] == 0 and MC_TRI_COUNT[255] == 0
+
+    def test_single_corner_one_triangle(self):
+        for c in range(8):
+            assert MC_TRI_COUNT[1 << c] == 1
+            assert MC_TRI_COUNT[255 ^ (1 << c)] == 1
+
+    def test_all_edges_cross(self):
+        """Every referenced cube edge must separate an inside corner from an
+        outside corner for its code."""
+        for code in range(256):
+            for t in range(MC_TRI_COUNT[code]):
+                for e in MC_TRI_TABLE[code, t]:
+                    a, b = EDGE_CORNERS[e]
+                    assert (code >> a & 1) != (code >> b & 1)
+
+
+class TestMarchingCubes:
+    def test_sphere_watertight_euler_area_volume(self):
+        vol = _ball()
+        mesh = marching_cubes(vol, level=0.0)
+        counts = _edge_counts(mesh)
+        assert np.all(counts == 2), "watertight"
+        v, f, e = mesh.n_points, mesh.n_cells, len(counts)
+        assert v - e + f == 2, "sphere Euler characteristic"
+        tri = mesh.triangles()
+        area = 0.5 * np.linalg.norm(
+            np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0]), axis=1
+        ).sum()
+        r = 10.0
+        assert abs(area - 4 * np.pi * r * r) / (4 * np.pi * r * r) < 0.03
+        svol = np.einsum("ij,ij->i", tri[:, 0], np.cross(tri[:, 1], tri[:, 2])).sum() / 6
+        assert abs(abs(svol) - 4 / 3 * np.pi * r**3) / (4 / 3 * np.pi * r**3) < 0.03
+
+    def test_orientation_matches_tets(self):
+        """Ascent orientation: same signed-volume sign as the tets oracle."""
+        vol = _ball()
+
+        def signed_vol(m):
+            t = m.triangles()
+            return np.einsum("ij,ij->i", t[:, 0], np.cross(t[:, 1], t[:, 2])).sum()
+
+        assert np.sign(signed_vol(marching_cubes(vol, 0.0))) == np.sign(
+            signed_vol(marching_tetrahedra(vol, 0.0))
+        )
+
+    def test_fewer_vertices_than_tets(self):
+        vol = _ball()
+        mc = marching_cubes(vol, 0.0)
+        mt = marching_tetrahedra(vol, 0.0)
+        assert mc.n_points < 0.5 * mt.n_points
+
+    def test_random_volumes_watertight_interior(self):
+        """On random blobs (surface away from the boundary), every edge is
+        shared by exactly 2 faces — no holes, including ambiguous faces."""
+        rng = np.random.default_rng(7)
+        for _ in range(3):
+            vol = rng.normal(size=(12, 12, 12)).astype(np.float32)
+            # smooth so the iso-surface stays inside
+            from scipy.ndimage import gaussian_filter
+
+            vol = gaussian_filter(vol, 1.5)
+            vol[[0, -1], :, :] = -10.0
+            vol[:, [0, -1], :] = -10.0
+            vol[:, :, [0, -1]] = -10.0
+            mesh = marching_cubes(vol, level=0.0)
+            if mesh.n_cells == 0:
+                continue
+            assert np.all(_edge_counts(mesh) == 2)
+
+    def test_spacing_scales_coordinates(self):
+        vol = _ball()
+        m1 = marching_cubes(vol, 0.0, spacing=(1.0, 1.0, 1.0))
+        m2 = marching_cubes(vol, 0.0, spacing=(2.0, 0.5, 1.5))
+        assert np.allclose(m1.vertices * np.array([2.0, 0.5, 1.5]), m2.vertices, atol=1e-5)
+
+    def test_device_matches_host(self):
+        import jax.numpy as jnp
+
+        vol = _ball(n=24, r=7.0)
+        host = marching_cubes(vol, 0.0, spacing=(0.7, 0.36, 0.36))
+        dev = marching_cubes(jnp.asarray(vol), 0.0, spacing=(0.7, 0.36, 0.36))
+        assert host.n_points == dev.n_points and host.n_cells == dev.n_cells
+        hv = host.vertices[np.lexsort(host.vertices.T)]
+        dv = dev.vertices[np.lexsort(dev.vertices.T)]
+        assert np.allclose(hv, dv, atol=1e-5)
+
+        def canon(m):
+            tri = m.vertices[m.faces]
+            order = np.argsort(tri[:, :, 0] * 1e6 + tri[:, :, 1] * 1e3 + tri[:, :, 2], axis=1)
+            tri = np.take_along_axis(tri, order[:, :, None], axis=1).reshape(len(tri), -1)
+            return tri[np.lexsort(tri.T)]
+
+        assert np.allclose(canon(host), canon(dev), atol=1e-5)
+
+    def test_empty_volume(self):
+        import jax.numpy as jnp
+
+        for v in (np.zeros((8, 8, 8), np.float32), jnp.zeros((8, 8, 8), "float32")):
+            mesh = marching_cubes(v, 0.5)
+            assert mesh.n_points == 0 and mesh.n_cells == 0
+
+
+class TestThicknessCrossOracle:
+    def test_mc_vs_tets_thickness_median(self):
+        """The full thickness path must agree between MC and tets extraction
+        (median per-point thickness within 10%) — the VERDICT-requested
+        cross-oracle for switching the production method to MC."""
+        from oai_analysis_2_tpu.mesh.processing import get_thickness_mesh
+
+        n = 48
+        g = np.arange(n, dtype=np.float32)
+        z, y, x = np.meshgrid(g, g, g, indexing="ij")
+        c = (n / 2, n * 0.55, n / 2)
+        rr = np.sqrt((z - c[0]) ** 2 + (y - c[1]) ** 2 + (x - c[2]) ** 2)
+        shell = np.clip(1.0 - np.abs(rr - 12.0) / 3.0, 0, 1) * (y < c[1])
+        img = image_from_array(shell.astype(np.float32), spacing=(1.0, 1.0, 1.0))
+
+        meds = {}
+        for method in ("mc", "tets"):
+            inner, _ = get_thickness_mesh(img, "TC", num_iterations=20, method=method)
+            thick = np.asarray(inner.point_data)
+            assert inner.n_points > 100
+            meds[method] = float(np.median(thick))
+        assert meds["mc"] == pytest.approx(meds["tets"], rel=0.10)

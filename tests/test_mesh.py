@@ -216,8 +216,10 @@ class TestThicknessEndToEnd:
         """A 4-voxel-thick slab: inner/outer split + distance ~ 4."""
         from oai_analysis_2_tpu.mesh.processing import get_thickness_mesh
 
-        vol = np.zeros((24, 24, 24), np.float32)
-        vol[:, :, 10:14] = 1.0  # slab normal to z (array is z,y,x -> slab in x!)
+        # large enough that each slab face clears the reference's 3000-cell
+        # component filter with MC extraction (2 tris/cube, vs tets' 4)
+        vol = np.zeros((44, 44, 44), np.float32)
+        vol[:, :, 20:24] = 1.0  # slab normal to z (array is z,y,x -> slab in x!)
         img = image_from_array(vol)
         inner, outer = get_thickness_mesh(img, mesh_type="TC", num_iterations=20)
         assert inner.n_points > 50 and outer.n_points > 50
