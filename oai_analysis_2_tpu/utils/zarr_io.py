@@ -2,9 +2,11 @@
 
 Replaces the reference's xarray/zarr ingestion path (dask_processing.py:29-43,
 DaskComputationCoiled cell 3 reads s3://… zarr volumes into ITK images): a
-dependency-free reader for zarr v2 directory stores with raw/zlib/gzip
-compressors, returning an Image whose metadata comes from sidecar attrs
-(`.zattrs` keys origin/spacing/direction when present, identity otherwise).
+dependency-free reader for zarr v2 directory stores with raw/zlib/gzip/blosc
+compressors (blosc — zarr's default and the OAI S3 store's — via the
+pure-Python codec in utils/blosc.py), returning an Image whose metadata comes
+from sidecar attrs (`.zattrs` keys origin/spacing/direction when present,
+identity otherwise).
 
 S3 stores: mount (s3fs/goofys) or pre-sync; network fetching is out of scope
 for the compute framework.
@@ -28,9 +30,9 @@ def _decompress(buf: bytes, compressor) -> bytes:
     if cid in ("zlib", "gzip"):
         return zlib.decompress(buf, zlib.MAX_WBITS | 32 if cid == "gzip" else zlib.MAX_WBITS)
     if cid == "blosc":
-        raise NotImplementedError(
-            "blosc-compressed zarr needs the blosc library; re-encode with zlib or raw"
-        )
+        from oai_analysis_2_tpu.utils.blosc import blosc_decompress
+
+        return blosc_decompress(buf)
     raise NotImplementedError(f"unsupported zarr compressor: {cid}")
 
 
