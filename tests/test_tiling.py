@@ -126,3 +126,61 @@ class TestPartition:
 
         out = np.asarray(roundtrip(vol))
         np.testing.assert_allclose(out, vol, atol=1e-6)
+
+
+def _oracle_assemble_vote(tiles, image_shape, tile_size_xyz, overlap_xyz, n_classes):
+    """Reference is_vote=True behavior (image_transforms.py:468-490), written
+    independently: full-tile-extent votes on the padded grid, argmax, crop."""
+    tile = np.flipud(np.asarray(tile_size_xyz))
+    ov = np.flipud(np.asarray(overlap_xyz))
+    eff = tile - 2 * ov
+    shape = np.asarray(image_shape)
+    grid = np.ceil(shape / eff).astype(int)
+    votes = np.zeros((n_classes, *(eff * grid + 2 * ov)), int)
+    idx = 0
+    for i in range(grid[0]):
+        for j in range(grid[1]):
+            for k in range(grid[2]):
+                for label in range(n_classes):
+                    zz, yy, xx = np.where(tiles[idx] == label)
+                    votes[label][zz + i * eff[0], yy + j * eff[1], xx + k * eff[2]] += 1
+                idx += 1
+    seg = np.argmax(votes, axis=0)
+    return seg[
+        ov[0] : ov[0] + shape[0], ov[1] : ov[1] + shape[1], ov[2] : ov[2] + shape[2]
+    ]
+
+
+class TestVoteAssemble:
+    def test_vote_matches_oracle(self):
+        rng = np.random.default_rng(0)
+        image_shape = (10, 21, 17)
+        tile_xyz, ov_xyz = (12, 14, 8), (2, 3, 1)
+        part = Partition(tile_xyz, ov_xyz)
+        n = part.num_tiles(image_shape)
+        tz, ty, tx = part.tile_size
+        tiles = rng.integers(0, 3, (n, tz, ty, tx)).astype(np.float32)
+        got = np.asarray(part.assemble_vote(jax.numpy.asarray(tiles), image_shape, 3))
+        expect = _oracle_assemble_vote(tiles, image_shape, tile_xyz, ov_xyz, 3)
+        np.testing.assert_array_equal(got, expect)
+
+    def test_vote_agrees_with_mean_on_consistent_tiles(self):
+        """When every tile carries the same labels, vote == central assembly."""
+        image_shape = (8, 16, 16)
+        part = Partition((12, 12, 8), (2, 2, 2))
+        vol = (np.arange(np.prod(image_shape)).reshape(image_shape) % 2).astype(np.float32)
+        tiles = part(jax.numpy.asarray(vol))
+        voted = np.asarray(part.assemble_vote(tiles, image_shape, 2))
+        direct = np.asarray(part.assemble(tiles, image_shape))
+        np.testing.assert_array_equal(voted, direct.astype(np.int32))
+
+    def test_vote_crop_quirk(self):
+        image_shape = (8, 16, 16)
+        part = Partition((12, 12, 8), (2, 2, 2))
+        tiles = jax.numpy.ones((part.num_tiles(image_shape), *part.tile_size))
+        seg = np.asarray(part.assemble_vote(tiles, image_shape, 2, crop_size=(2, 3, 1)))
+        # (cx, cy, cz)=(2,3,1) -> margins (cz, cx, cy)=(1,2,3) on (z,y,x)
+        assert seg[0].max() == 0 and seg[-1].max() == 0
+        assert seg[:, :2].max() == 0 and seg[:, -2:].max() == 0
+        assert seg[:, :, :3].max() == 0 and seg[:, :, -3:].max() == 0
+        assert seg[1:-1, 2:-2, 3:-3].min() == 1
