@@ -141,6 +141,11 @@ def load_torch_checkpoint(path) -> Tuple[dict, int, float]:
     return sd_np, epoch, best
 
 
+def _is_unet_key(key: str) -> bool:
+    """True for keys of the reference UNet naming scheme (ec*/dc*)."""
+    return key.startswith(("ec", "dc"))
+
+
 def _conv_fwd(w: np.ndarray) -> jnp.ndarray:
     # torch Conv3d (O, I, D, H, W) -> DHWIO
     return jnp.asarray(np.transpose(w, (2, 3, 4, 1, 0)))
@@ -169,9 +174,23 @@ def _torch_decoder_names(num_dec_levels: int):
 
 
 def convert_torch_unet_state_dict(
-    sd: Dict[str, np.ndarray], spec: UNetSpec, prefix: str = ""
+    sd: Dict[str, np.ndarray], spec: UNetSpec, prefix: str = "", rng_key=None
 ) -> dict:
-    """Map a reference UNet torch state_dict onto this framework's pytree."""
+    """Map a reference UNet torch state_dict onto this framework's pytree.
+
+    Hardened for the artifacts the reference actually ships:
+      * `module.`-prefixed keys (torch DataParallel training) are accepted
+        transparently;
+      * a `UNetClassWise` checkpoint whose per-class heads are missing — the
+        reference keeps them in a plain Python list invisible to
+        `state_dict()` (networks.py:182) — gets freshly initialized heads
+        plus a warning instead of producing a pytree that KeyErrors at
+        `apply` time.
+    """
+    if not any(k.startswith(prefix) and _is_unet_key(k[len(prefix):]) for k in sd):
+        dp = f"{prefix}module."
+        if any(k.startswith(dp) and _is_unet_key(k[len(dp):]) for k in sd):
+            prefix = dp
 
     def seq(name, idx, leaf):
         return sd[f"{prefix}{name}.{idx}.{leaf}"]
@@ -202,7 +221,8 @@ def convert_torch_unet_state_dict(
     if spec.classwise_heads:
         # Reference defect (networks.py:182): classwise heads live in a plain
         # Python list and are absent from shipped state_dicts. If present
-        # under 'dc0s.{i}', convert; otherwise leave to caller to init.
+        # under 'dc0s.{i}', convert; otherwise initialize them and warn.
+        missing = []
         for c in range(spec.n_classes):
             k = f"{prefix}dc0s.{c}.weight"
             if k in sd:
@@ -210,6 +230,23 @@ def convert_torch_unet_state_dict(
                 if f"{prefix}dc0s.{c}.bias" in sd:
                     head["bias"] = jnp.asarray(sd[f"{prefix}dc0s.{c}.bias"])
                 params[f"head{c}"] = head
+            else:
+                missing.append(c)
+        if missing:
+            import warnings
+
+            from oai_analysis_2_tpu.models.unet3d import _init_conv
+
+            warnings.warn(
+                f"UNetClassWise checkpoint is missing per-class heads {missing} "
+                "(reference networks.py:182 keeps them outside state_dict); "
+                "initializing them randomly — class outputs need fine-tuning",
+                stacklevel=2,
+            )
+            key = jax.random.PRNGKey(0) if rng_key is None else rng_key
+            for c in missing:
+                key, sub = jax.random.split(key)
+                params[f"head{c}"] = _init_conv(sub, 1, spec.head_in, 1, spec.bias)
     else:
         head = {"kernel": _conv_fwd(sd[f"{prefix}dc0.weight"])}
         if f"{prefix}dc0.bias" in sd:
