@@ -1,4 +1,4 @@
-"""End-to-end single-knee pipeline benchmark.
+"""End-to-end single-knee pipeline benchmark — the PRODUCTION graph.
 
 Measures the reference's headline workload (SURVEY.md §6, BASELINE.md):
 segmentation (full `UNet` on a 160x384x384 DESS-sized volume, overlap-tiled)
@@ -6,13 +6,19 @@ segmentation (full `UNet` on a 160x384x384 DESS-sized volume, overlap-tiled)
 thickness meshes. The reference does this in 148 s on a Colab GPU
 (DaskComputation.ipynb cell 7) => 24.3 knees/hour baseline.
 
-Weights are random (the pretrained checkpoint is a network download); the
-compute graph, shapes and batch sizes are the production configuration.
-The thickness stage runs on anatomically-shaped synthetic probability maps
-(a curved shell -> ~reference-sized meshes, test_all.py:69-70) because
-random-weight probmaps have no surface.
+This drives `KneePipeline.run` itself — the exact graph a user executes —
+so the warped probmaps ARE the segmenter outputs (round 1 warped synthetic
+shells instead, hiding assemble regressions). The UNet weights are
+`make_threshold_params`: the real network topology/FLOPs computing a clean
+intensity threshold, so the segmenter's own outputs carry the phantom's
+cartilage-like surfaces and every downstream stage sees realistic geometry
+(the shipped checkpoint is a network download, BASELINE.md).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Registration: trained GradICON weights when shipped in the package
+(registration_mode="auto"), else instance optimization; the mode lands in
+the JSON line.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
@@ -41,21 +47,18 @@ def _shell_probmap(shape_zyx, r_inner=60.0, r_outer=66.0, center=None):
 
 
 def build_pipeline():
-    import jax
-    import jax.numpy as jnp
-
-    from oai_analysis_2_tpu.core.image import image_from_array
-    from oai_analysis_2_tpu.engine.registration import register_pair
-    from oai_analysis_2_tpu.engine.segmenter import Segmenter3DInPatchClassWise
-    from oai_analysis_2_tpu.mesh.processing import get_thickness_meshes
-    from oai_analysis_2_tpu.models.gradicon import GradICONConfig
-    from oai_analysis_2_tpu.models.unet3d import NETWORK_SPECS, UNet3D
-    from oai_analysis_2_tpu.ops.intensity import percentile_window
-    from oai_analysis_2_tpu.ops.resample import resample_image, resample_images
-    from oai_analysis_2_tpu.utils.checkpoint import save_checkpoint
     import json as _json
     import tempfile
     from pathlib import Path
+
+    import jax
+
+    from oai_analysis_2_tpu.core.image import image_from_array
+    from oai_analysis_2_tpu.engine.pipeline import KneePipeline
+    from oai_analysis_2_tpu.engine.segmenter import Segmenter3DInPatchClassWise
+    from oai_analysis_2_tpu.models.gradicon import GradICONConfig
+    from oai_analysis_2_tpu.models.unet3d import NETWORK_SPECS, UNet3D, make_threshold_params
+    from oai_analysis_2_tpu.utils.checkpoint import save_checkpoint
 
     tmp = Path(tempfile.mkdtemp(prefix="oai_bench_"))
     (tmp / "train_config.json").write_text(
@@ -63,12 +66,15 @@ def build_pipeline():
             {
                 "patch_size": [128, 128, 32],
                 "model": "UNet",
-                "model_setting": {"in_channels": 1, "n_classes": 2, "bias": False, "BN": False},
+                "model_setting": {"in_channels": 1, "n_classes": 2, "bias": True, "BN": False},
             }
         )
     )
-    model = UNet3D(NETWORK_SPECS["UNet"])
-    params = jax.jit(model.init)(jax.random.PRNGKey(0))
+    model = UNet3D(NETWORK_SPECS["UNet"].replace(bias=True))
+    # production topology/FLOPs computing sigmoid(24*(x-0.5)): the phantom's
+    # shells (intensity ~0.85 after windowing) vs background (<0.3) come out
+    # as clean probability maps THROUGH the segmenter
+    params = make_threshold_params(model, gain=24.0, threshold=0.5)
     save_checkpoint({"params": params, "epoch": 600}, False, tmp, name="seg.npz")
 
     segmenter = Segmenter3DInPatchClassWise(
@@ -84,9 +90,9 @@ def build_pipeline():
 
     rng = np.random.default_rng(0)
     # DESS-like knee volume (z,y,x) and the 160x384x384 atlas grid of the
-    # reference (FullDemo cell 7). The knee has shell "anatomy" so that
-    # registration aligns real structure and the warped probability maps
-    # produce reference-sized meshes (test_all.py:69-70).
+    # reference (FullDemo cell 7). The knee carries shell "anatomy" that the
+    # threshold-UNet segments; registration aligns it to the atlas so the
+    # warped probmaps produce reference-scale meshes (test_all.py:69-70).
     shape = (160, 384, 384)
     fc_shell = _shell_probmap(shape)
     tc_shell = _shell_probmap(shape, 40.0, 45.0, (80, 230, 192))
@@ -103,44 +109,27 @@ def build_pipeline():
     )
     atlas_np = atlas_anatomy * 0.78 + rng.uniform(0.0, 0.22, shape)
     atlas = image_from_array(atlas_np.astype(np.float32), spacing=(0.36, 0.36, 0.7))
-    fc_prob = image_from_array(fc_shell, spacing=(0.36, 0.36, 0.7))
-    tc_prob = image_from_array(tc_shell, spacing=(0.36, 0.36, 0.7))
-    reg_cfg = GradICONConfig()
 
-    from oai_analysis_2_tpu.utils.profiling import StageTimer
+    pipe = KneePipeline(
+        segmenter,
+        atlas,
+        registration_config=GradICONConfig(),
+        instance_scales=(4, 2, 1),
+        instance_steps=(80, 60, 40),
+        registration_mode="auto",
+        finetune_steps=10,
+    )
 
     def one_knee():
-        timer = StageTimer()
-        # 1) preprocess + segment
-        with timer.stage("preprocess"):
-            pre = percentile_window(knee, 0.1, 99.9, 0.0, 1.0)
-            pre.data.block_until_ready()
-        with timer.stage("segment"):
-            fc, tc = segmenter.segment(pre, if_output_prob_map=True)
-            jax.block_until_ready((fc.data, tc.data))
-        # 2) register knee -> atlas (instance optimization)
-        with timer.stage("register"):
-            phi_ab, _ = register_pair(
-                pre, atlas, config=reg_cfg, instance_scales=(4, 2, 1), instance_steps=(80, 60, 40)
-            )
-            jax.block_until_ready(phi_ab.field)
-        # 3) warp probability maps onto the atlas grid
-        with timer.stage("warp"):
-            fc_w, tc_w = resample_images([fc_prob, tc_prob], atlas, displacement=phi_ab)
-            jax.block_until_ready((fc_w.data, tc_w.data))
-        # 4) thickness meshes
-        with timer.stage("thickness"):
-            (fc_inner, _), (tc_inner, _) = get_thickness_meshes(
-                [fc_w, tc_w], ["FC", "TC"]
-            )
-        return fc_inner, tc_inner, timer.report()
+        result = pipe.run(knee)
+        return result
 
-    return one_knee
+    return pipe, one_knee
 
 
 def main():
     t_setup = time.time()
-    one_knee = build_pipeline()
+    pipe, one_knee = build_pipeline()
     # warm-up knee: pays all compilations
     one_knee()
     warm = time.time() - t_setup
@@ -150,19 +139,22 @@ def main():
     samples = []
     for _ in range(3):
         t0 = time.time()
-        fc_inner, tc_inner, stages = one_knee()
+        result = one_knee()
         samples.append(time.time() - t0)
     dt = sorted(samples)[1]
 
-    # sanity: an empty mesh means a stage silently produced garbage and the
-    # throughput number would be meaningless
+    # sanity: these meshes come from the segmenter's OWN warped outputs — a
+    # segmentation/assemble/warp regression shows up as degenerate meshes
+    fc_inner, tc_inner = result.fc_inner, result.tc_inner
     assert fc_inner.n_points > 1000 and tc_inner.n_points > 1000, (
         f"thickness stage produced degenerate meshes "
         f"({fc_inner.n_points}, {tc_inner.n_points})"
     )
+    fc_med = float(np.median(np.asarray(fc_inner.point_data)))
+    assert 0.2 < fc_med < 10.0, f"implausible FC thickness median {fc_med}"
 
     knees_per_hour = 3600.0 / dt
-    result = {
+    result_json = {
         "metric": "single-knee pipeline (seg+reg+warp+thickness), steady-state",
         "value": round(knees_per_hour, 2),
         "unit": "knees/hour/chip",
@@ -170,11 +162,13 @@ def main():
         "seconds_per_knee": round(dt, 2),
         "knee_samples": [round(s, 1) for s in samples],
         "warmup_seconds": round(warm, 1),
+        "registration_mode": pipe.registerer.mode,
         "fc_mesh_points": int(fc_inner.n_points),
         "tc_mesh_points": int(tc_inner.n_points),
-        "stage_seconds": {k: v["seconds"] for k, v in stages.items()},
+        "fc_thickness_median_mm": round(fc_med, 3),
+        "stage_seconds": {k: v["seconds"] for k, v in result.timings.items()},
     }
-    print(json.dumps(result))
+    print(json.dumps(result_json))
 
 
 if __name__ == "__main__":

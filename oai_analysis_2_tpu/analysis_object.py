@@ -8,9 +8,9 @@ Differences by design (TPU-native):
   * no device selection dance (analysis_object.py:11-15) — JAX owns placement;
   * the segmentation checkpoint may be the reference's torch `.pth.tar`
     (converted on load) or this framework's native `.npz`;
-  * registration defaults to instance optimization (no 1.2 GB pretrained
-    download required); a trained GradICON can be plugged in via
-    `registration_mode="network"` + `registerer.load_params(...)`.
+  * registration defaults to "auto": the shipped trained GradICON weights
+    (a few MB in-package, vs the reference's 1.2 GB download) when present,
+    else per-pair instance optimization (zero downloads).
 """
 
 from __future__ import annotations
@@ -32,7 +32,7 @@ class AnalysisObject:
         batch_size: int = 4,
         overlap_size: Tuple[int, int, int] = (16, 16, 8),
         compute_dtype: str = "bfloat16",
-        registration_mode: str = "instance",
+        registration_mode: str = "auto",
         registration_steps: int = 60,
     ):
         if models_path is None:

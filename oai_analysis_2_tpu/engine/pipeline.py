@@ -18,7 +18,6 @@ import numpy as np
 
 from oai_analysis_2_tpu.core.image import Image
 from oai_analysis_2_tpu.core.nifti import read_nifti
-from oai_analysis_2_tpu.engine.registration import register_pair
 from oai_analysis_2_tpu.engine.segmenter import Segmenter3DInPatchClassWise
 from oai_analysis_2_tpu.mesh.processing import get_thickness_mesh, get_thickness_meshes
 from oai_analysis_2_tpu.mesh.types import Mesh
@@ -50,13 +49,30 @@ class KneePipeline:
         instance_scales: Tuple[int, ...] = (4, 2, 1),
         instance_steps=(80, 60, 40),
         normalize: bool = True,
+        registration_mode: str = "auto",
+        finetune_steps: int = 0,
+        finetune_scales: Tuple[int, ...] = (2,),
     ):
+        """registration_mode: "auto" uses the shipped trained GradICON when
+        its weights exist (one forward pass + `finetune_steps` of per-pair
+        refinement), else instance optimization; or force "network" /
+        "instance"."""
+        from oai_analysis_2_tpu.engine.registration import ICON_Registration
+
         self.segmenter = segmenter
         self.atlas = atlas_image
         self.reg_config = registration_config or GradICONConfig()
         self.instance_scales = instance_scales
         self.instance_steps = instance_steps
         self.normalize = normalize
+        self.registerer = ICON_Registration(
+            mode=registration_mode,
+            config=self.reg_config,
+            instance_steps=instance_steps,
+            instance_scales=instance_scales,
+            finetune_steps=finetune_steps,
+            finetune_scales=finetune_scales,
+        )
 
     def run(self, image: Image) -> KneeResult:
         import jax
@@ -70,13 +86,7 @@ class KneePipeline:
             jax.block_until_ready((fc.data, tc.data))
 
         with timer.stage("register"):
-            phi_ab, _ = register_pair(
-                pre,
-                self.atlas,
-                config=self.reg_config,
-                instance_scales=self.instance_scales,
-                instance_steps=self.instance_steps,
-            )
+            phi_ab = self.registerer.register(pre, self.atlas)
             jax.block_until_ready(phi_ab.field)
 
         with timer.stage("warp"):

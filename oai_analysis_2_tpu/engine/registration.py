@@ -72,6 +72,21 @@ def _maps_to_displacement(
     )
 
 
+_BOTH_MAPS_CACHE: dict = {}
+
+
+def _jitted_both_maps(model: GradICON):
+    """One jitted program for the network's two forward passes (per model
+    instance — eager stage-by-stage dispatch over the TPU tunnel is pure
+    overhead)."""
+    import jax
+
+    key = id(model)
+    if key not in _BOTH_MAPS_CACHE:
+        _BOTH_MAPS_CACHE[key] = jax.jit(model.both_maps)
+    return _BOTH_MAPS_CACHE[key]
+
+
 def register_pair(
     image_a: Image,
     image_b: Image,
@@ -82,21 +97,45 @@ def register_pair(
     instance_scales: Tuple[int, ...] = (4, 2, 1),
     lambda_reg: float = 0.5,
     diffusion_weight: float = 0.3,
+    finetune_steps: int = 0,
+    finetune_scales: Tuple[int, ...] = (2,),
 ) -> Tuple[DisplacementField, DisplacementField]:
     """Register two physical-space images; returns (phi_AB, phi_BA) as
     displacement fields. phi_AB warps A-grid data onto B's grid (it maps
     B-space points into A space) — mirroring the reference's return
     convention where `register_pair(model, A, B)[0]` feeds
-    `resample(prob_on_A, output_grid=B)`."""
+    `resample(prob_on_A, output_grid=B)`.
+
+    With model+params: one trained-network forward pass (the reference's
+    pretrained path, registration.py:20-27), optionally refined by
+    `finetune_steps` of instance optimization per scale in `finetune_scales`
+    (icon_registration's finetune_steps equivalent)."""
     cfg = config or GradICONConfig()
     grid_a = _net_grid_reference(image_a, cfg.grid_shape)
     grid_b = _net_grid_reference(image_b, cfg.grid_shape)
     a = resample_image(image_a, grid_a).data.astype(jnp.float32)
     b = resample_image(image_b, grid_b).data.astype(jnp.float32)
 
-    if model is not None and params is not None:
+    if model is not None:
+        if params is None:
+            raise ValueError(
+                "network-mode registration without weights: call load_params() "
+                "or pass params (round-1 silently fell back to instance mode)"
+            )
         # Trained-network path: phi_ab warps B onto A's grid.
-        nmap_ab, nmap_ba = model.both_maps(params, a, b)
+        nmap_ab, nmap_ba = _jitted_both_maps(model)(params, a, b)
+        if finetune_steps:
+            nmap_ab, nmap_ba = register_pair_instance(
+                a,
+                b,
+                scales=finetune_scales,
+                steps_per_scale=finetune_steps,
+                lncc_window=cfg.lncc_window,
+                lambda_reg=lambda_reg,
+                diffusion_weight=diffusion_weight,
+                init_ab=nmap_ab,
+                init_ba=nmap_ba,
+            )
     else:
         nmap_ab, nmap_ba = register_pair_instance(
             a,
@@ -119,28 +158,78 @@ class ICON_Registration:
     """API-parity facade (reference registration.py:18-27).
 
     Modes:
-      * "instance" (default): per-pair optimization, no weights needed;
+      * "auto" (default): "network" when the shipped GradICON weights exist
+        (models/gradicon.py:default_gradicon_weights_path — the TPU-native
+        analog of the reference's pretrained download), else "instance";
       * "network": trained GradICON forward pass (+ optional instance
-        fine-tuning steps), with `load_params`/`train` to obtain weights.
+        fine-tuning steps); weights auto-load from the package, or inject
+        via `load_params`. Registering without weights RAISES (round 1
+        silently fell back to instance mode — a loaded footgun);
+      * "instance": per-pair optimization, no weights needed.
     """
 
     def __init__(
         self,
-        mode: str = "instance",
+        mode: str = "auto",
         config: Optional[GradICONConfig] = None,
         instance_steps=(80, 60, 40),  # int or per-scale schedule
         instance_scales: Tuple[int, ...] = (4, 2, 1),
+        finetune_steps: int = 0,
+        finetune_scales: Tuple[int, ...] = (2,),
         verbose: bool = False,
     ):
-        self.mode = mode
+        from oai_analysis_2_tpu.models.gradicon import (
+            default_gradicon_weights_path,
+            load_gradicon_params,
+        )
+
         self.config = config or GradICONConfig()
         self.instance_steps = instance_steps
         self.instance_scales = instance_scales
+        self.finetune_steps = finetune_steps
+        self.finetune_scales = finetune_scales
         self.verbose = verbose
         self.model: Optional[GradICON] = None
         self.params: Optional[List[dict]] = None
+
+        # the per-scale stage UNets (two 2x pools) need every grid dim
+        # divisible by max_scale * 4; instance mode has no such constraint
+        need = max(self.config.scales) * 4
+        grid_ok = all(s % need == 0 for s in self.config.grid_shape)
+        if mode == "auto":
+            mode = (
+                "network"
+                if grid_ok and self._try_load_default(load_gradicon_params, default_gradicon_weights_path)
+                else "instance"
+            )
+        self.mode = mode
         if mode == "network":
+            if not grid_ok:
+                raise ValueError(
+                    f"network mode needs grid_shape divisible by {need}, got "
+                    f"{self.config.grid_shape}"
+                )
             self.model = GradICON(self.config)
+            if self.params is None and default_gradicon_weights_path().exists():
+                self.params = load_gradicon_params()
+        elif mode != "instance":
+            raise ValueError(f"unknown registration mode {mode!r}")
+
+    def _try_load_default(self, load_fn, path_fn) -> bool:
+        """Auto mode: load the shipped weights iff they exist AND match this
+        config's architecture (stage count / width); else fall back."""
+        if not path_fn().exists():
+            return False
+        try:
+            params = load_fn()
+        except Exception:  # noqa: BLE001 — unreadable file -> instance mode
+            return False
+        if len(params) != len(self.config.scales):
+            return False
+        if int(params[0]["enc0a"]["kernel"].shape[-1]) != self.config.stage_width:
+            return False
+        self.params = params
+        return True
 
     def load_params(self, params: List[dict]) -> None:
         self.params = params
@@ -161,5 +250,7 @@ class ICON_Registration:
             config=self.config,
             instance_steps=self.instance_steps,
             instance_scales=self.instance_scales,
+            finetune_steps=self.finetune_steps,
+            finetune_scales=self.finetune_scales,
         )
         return phi_ab

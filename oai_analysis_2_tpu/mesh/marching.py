@@ -98,7 +98,6 @@ def _build_case_table() -> Tuple[np.ndarray, np.ndarray]:
         for ti, t in enumerate(tris):
             tris_table[case, ti] = t
 
-    n_tris = np.array([0] + [1] * 3 + [2] * 0, np.int64)  # filled below
     counts = np.zeros(16, np.int64)
     for case in range(16):
         counts[case] = int((tris_table[case, :, 0] >= 0).sum())

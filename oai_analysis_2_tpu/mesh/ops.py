@@ -213,11 +213,14 @@ def _surface_distance_impl(points, tri_a, tri_b, tri_c, point_chunk: int, tri_ch
     return jnp.sqrt(d2.reshape(-1))
 
 
-def distance_to_surface(points: np.ndarray, target: Mesh, point_chunk: int = 2048) -> np.ndarray:
+def distance_to_surface(
+    points: np.ndarray, target: Mesh, point_chunk: int = 2048, force_xla: bool = False
+) -> np.ndarray:
     """Unsigned distance from each point to the closest point on `target`'s
     surface (exact point-to-triangle). Triangles are padded to a power-of-2
     bucket with far-away degenerate triangles so the kernel compiles once per
-    (bucket, chunk), not once per mesh."""
+    (bucket, chunk), not once per mesh. `force_xla` skips the Pallas kernel
+    (cross-oracle for the chip-gated regression test)."""
     if target.n_cells == 0 or len(points) == 0:
         return np.zeros(len(points), np.float32)
     from oai_analysis_2_tpu.ops.bucketing import bucket_size, pad_rows
@@ -226,7 +229,7 @@ def distance_to_surface(points: np.ndarray, target: Mesh, point_chunk: int = 204
         point_triangle_distance_pallas,
     )
 
-    if pallas_available():
+    if pallas_available() and not force_xla:
         return point_triangle_distance_pallas(points, target.triangles())
 
     tri_chunk = 8192

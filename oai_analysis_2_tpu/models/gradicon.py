@@ -309,6 +309,8 @@ def register_pair_instance(
     diffusion_weight: float = 0.3,
     similarity: str = "lncc+mse",
     verbose: bool = False,
+    init_ab: jax.Array = None,
+    init_ba: jax.Array = None,
 ):
     """Symmetric multiscale instance-optimization registration.
 
@@ -320,6 +322,10 @@ def register_pair_instance(
     structures; a network parameterization regularizes implicitly, a raw
     field does not. Returns
     (phi_ab, phi_ba) coordinate maps on a's grid shape; b(phi_ab(x)) ~= a(x).
+
+    init_ab / init_ba: optional full-grid coordinate maps to start from —
+    the per-pair fine-tuning mode on top of a trained network's prediction
+    (the reference's icon_registration `finetune_steps`).
 
     This is the out-of-the-box registration path (the reference requires a
     1.2 GB pretrained download; this path requires nothing) — and it runs
@@ -339,8 +345,8 @@ def register_pair_instance(
             out = downsample2x(out)
         return out
 
-    phi_ab = ident_full
-    phi_ba = ident_full
+    phi_ab = ident_full if init_ab is None else init_ab
+    phi_ba = ident_full if init_ba is None else init_ba
 
     for scale, n_steps in zip(scales, steps_per_scale):
         a_s, b_s = pyramid(a, scale), pyramid(b, scale)

@@ -247,6 +247,50 @@ def _block(x, p, spec, up=False, train=False, stats_out=None, name=None, precisi
 # -- the model -----------------------------------------------------------------
 
 
+def make_threshold_params(
+    model: "UNet3D", gain: float = 24.0, threshold: float = 0.5, key=None
+) -> Params:
+    """Synthetic weights that make the UNet compute
+    `sigmoid(gain * (x - threshold))` per class — an intensity threshold
+    routed through the REAL topology (level-0 skip path + heads).
+
+    For benches and pipeline-wiring tests: the compute graph, shapes and
+    FLOPs are the production network's, but the outputs are deterministic
+    shell probability maps instead of random-weight noise, so downstream
+    stages (warp, mesh, thickness) see realistic surfaces and an
+    assemble/segmenter regression is visible in mesh statistics. Requires a
+    bias-enabled spec (the threshold shift lives in the head bias).
+    """
+    spec = model.spec
+    if not spec.bias:
+        raise ValueError("threshold params need spec.bias=True for the shift")
+    params = model.init(key if key is not None else jax.random.PRNGKey(0))
+    params = jax.tree_util.tree_map(jnp.zeros_like, params)
+
+    def center_tap(p, cin_idx, cout_idx):
+        k = p["kernel"]
+        c = k.shape[0] // 2
+        p["kernel"] = k.at[c, c, c, cin_idx, cout_idx].set(1.0)
+
+    # identity path: input -> enc0a ch0 -> enc0b ch0 -> (skip) -> dec{last}a/b
+    center_tap(params["enc0a"], 0, 0)
+    center_tap(params["enc0b"], 0, 0)
+    last = len(spec.dec) - 1
+    up_ch = spec.dec[last][0]  # skip channels sit after the upconv block
+    center_tap(params[f"dec{last}a"], up_ch + 0, 0)
+    center_tap(params[f"dec{last}b"], 0, 0)
+
+    heads = (
+        [f"head{c}" for c in range(spec.n_classes)] if spec.classwise_heads else ["head"]
+    )
+    for name in heads:
+        p = params[name]
+        k = p["kernel"]
+        p["kernel"] = k.at[0, 0, 0, 0, :].set(gain)
+        p["bias"] = p["bias"] + (-gain * threshold)
+    return params
+
+
 class UNet3D:
     """Functional 3D UNet. `init(key)` builds the param pytree; `apply(params,
     x)` runs NDHWC -> NDHWC logits. All variants in NETWORK_SPECS share this

@@ -244,8 +244,8 @@ class TestBatchedThickness:
     def test_get_thickness_meshes_batch(self):
         from oai_analysis_2_tpu.mesh.processing import get_thickness_meshes
 
-        vol = np.zeros((24, 24, 24), np.float32)
-        vol[:, :, 10:14] = 1.0
+        vol = np.zeros((44, 44, 44), np.float32)
+        vol[:, :, 20:24] = 1.0  # large enough for the 3000-cell filter at MC density
         img = image_from_array(vol)
         results = get_thickness_meshes([img, img], ["TC", "TC"], num_iterations=20)
         assert len(results) == 2
