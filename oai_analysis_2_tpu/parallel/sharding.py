@@ -99,6 +99,45 @@ def make_sharded_train_step(
     return run
 
 
+def make_sharded_gradicon_train_step(model, optimizer, mesh: Mesh):
+    """Data-parallel GradICON registration training step over a device mesh.
+
+    The reference trains registration on a single GPU (external
+    icon_registration); here pair batches shard over the mesh's `data` axis
+    and XLA all-reduces the gradients over ICI — the multi-chip analog of
+    examples/train_gradicon_synth.py's single-chip loop. Params replicate
+    (a few MB; no need for tensor sharding at this size).
+
+    a, b: (N, D, H, W) image pairs on the registration grid, N % n_data == 0.
+    """
+    flat_mesh = Mesh(mesh.devices.reshape(-1), ("data",))
+    batch_sharding = NamedSharding(flat_mesh, P("data"))
+    rep = NamedSharding(flat_mesh, P())
+
+    @jax.jit
+    def step(params, opt_state, a, b):
+        def batch_loss(p):
+            def one(a1, b1):
+                l, _ = model.loss(p, a1, b1)
+                return l
+
+            return jnp.mean(jax.vmap(one)(a, b))
+
+        loss_val, grads = jax.value_and_grad(batch_loss)(params)
+        updates, opt_state2 = optimizer.update(grads, opt_state, params)
+        params2 = optax.apply_updates(params, updates)
+        return params2, opt_state2, loss_val
+
+    def run(params, opt_state, a, b):
+        params = jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), params)
+        opt_state = jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), opt_state)
+        a = jax.device_put(a, batch_sharding)
+        b = jax.device_put(b, batch_sharding)
+        return step(params, opt_state, a, b)
+
+    return run
+
+
 def make_sharded_inference(model: UNet3D, mesh: Mesh):
     """Tile-parallel inference: a batch of patches sharded over every mesh
     device; returns per-patch sigmoid probabilities."""

@@ -147,6 +147,39 @@ class TestSharding:
         np.testing.assert_allclose(got, expect, atol=2e-5)
 
 
+    def test_sharded_gradicon_train_step(self):
+        """Data-parallel registration training over the 8-device mesh — one
+        step must run, all-reduce, and move the params."""
+        import optax
+
+        from oai_analysis_2_tpu.models.gradicon import GradICON, GradICONConfig
+        from oai_analysis_2_tpu.parallel.sharding import (
+            make_device_mesh,
+            make_sharded_gradicon_train_step,
+        )
+
+        mesh = make_device_mesh(n_data=4, n_space=2)
+        cfg = GradICONConfig(grid_shape=(16, 16, 16), scales=(2, 1), stage_width=2)
+        model = GradICON(cfg)
+        params = model.init(jax.random.PRNGKey(0))
+        opt = optax.adam(1e-4)
+        opt_state = opt.init(params)
+        step = make_sharded_gradicon_train_step(model, opt, mesh)
+
+        rng = np.random.default_rng(0)
+        a = jnp.asarray(rng.uniform(0, 1, (8, 16, 16, 16)), jnp.float32)
+        b = jnp.asarray(rng.uniform(0, 1, (8, 16, 16, 16)), jnp.float32)
+        new_params, _, loss = step(params, opt_state, a, b)
+        assert np.isfinite(float(loss))
+        delta = sum(
+            float(jnp.sum(jnp.abs(l)))
+            for l in jax.tree_util.tree_leaves(
+                jax.tree_util.tree_map(lambda x, y: x - y, new_params, params)
+            )
+        )
+        assert delta > 0
+
+
 class TestCohortRunner:
     def test_resume_and_failure_isolation(self, tmp_path):
         from oai_analysis_2_tpu.parallel.cohort import CohortRunner
