@@ -1,0 +1,176 @@
+"""Train the shipped GradICON registration weights on synthetic phantoms.
+
+The reference's registration is a pretrained 1.2 GB download
+(oai_analysis/registration.py:18-27). This sandbox has no OAI data, so the
+TPU-native weights are trained self-supervised (LNCC + gradient inverse
+consistency needs no labels) on procedurally generated knee-like phantoms
+(`models/synthetic.py`) — random pairs of different anatomies plus pairs of
+random smooth warps of the same anatomy.
+
+Progress is tracked by a known-deformation recovery eval: a held-out
+phantom is deformed by a known smooth field and the network's recovered
+field is compared in voxels. The best checkpoint lands at
+`oai_analysis_2_tpu/weights/gradicon.npz`, where `ICON_Registration`
+auto-loads it (mode="auto" -> "network").
+
+Usage:
+    python examples/train_gradicon_synthetic.py [steps] [batch] [out.npz]
+"""
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def build_eval_pair(shape, seed=12345):
+    """Held-out phantom + known smooth deformation (normalized units)."""
+    from oai_analysis_2_tpu.models.synthetic import random_phantom
+
+    rng = np.random.default_rng(seed)
+    fixed = random_phantom(rng, shape)
+    d, h, w = shape
+    z, y, x = np.meshgrid(
+        np.linspace(0, 1, d, dtype=np.float32),
+        np.linspace(0, 1, h, dtype=np.float32),
+        np.linspace(0, 1, w, dtype=np.float32),
+        indexing="ij",
+    )
+    # ~3-voxel amplitude smooth sinusoid field, normalized units
+    amp = 0.03
+    g = np.stack(
+        [
+            amp * np.sin(3.1 * y + 0.7) * np.cos(2.3 * x),
+            amp * np.cos(2.9 * z) * np.sin(3.7 * x + 1.1),
+            amp * np.sin(2.1 * z + 0.4) * np.cos(3.3 * y),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    return fixed, g
+
+
+def main():
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    out_path = (
+        Path(sys.argv[3])
+        if len(sys.argv) > 3
+        else Path(__file__).resolve().parent.parent
+        / "oai_analysis_2_tpu"
+        / "weights"
+        / "gradicon.npz"
+    )
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from oai_analysis_2_tpu.models.gradicon import (
+        GradICON,
+        GradICONConfig,
+        identity_map,
+        warp,
+    )
+    from oai_analysis_2_tpu.models.synthetic import (
+        apply_lowres_warp,
+        make_augmented_train_step,
+        make_phantom_pool,
+        random_lowres_field,
+    )
+    from oai_analysis_2_tpu.utils.checkpoint import save_checkpoint
+
+    cfg = GradICONConfig()
+    shape = cfg.grid_shape
+    model = GradICON(cfg, compute_dtype=jnp.bfloat16)
+    params = model.init(jax.random.PRNGKey(0))
+
+    sched = optax.warmup_cosine_decay_schedule(
+        init_value=0.0,
+        peak_value=2e-4,
+        warmup_steps=min(100, steps // 10 + 1),
+        decay_steps=steps,
+        end_value=2e-5,
+    )
+    opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(sched))
+    opt_state = opt.init(params)
+    step = make_augmented_train_step(model, opt)
+
+    print("generating phantom pool...", flush=True)
+    pool = make_phantom_pool(96, shape, seed=7)
+    pool_dev = jnp.asarray(pool)
+
+    # -- eval: known-deformation recovery ------------------------------------
+    eval_fixed_np, eval_g_np = build_eval_pair(shape)
+    eval_fixed = jnp.asarray(eval_fixed_np)
+    eval_g = jnp.asarray(eval_g_np)
+    eval_model = GradICON(cfg)  # f32 — the production inference dtype
+    ident = identity_map(shape)
+    eval_moving = warp(eval_fixed, ident + eval_g)
+    scale_vox = jnp.asarray([s - 1.0 for s in shape], jnp.float32)
+
+    @jax.jit
+    def eval_err(p):
+        # forward_map(params, a=moving, b=fixed) returns psi with
+        # fixed(psi(x)) ~= moving(x) = fixed(x + g(x))  =>  psi ~= id + g
+        psi = eval_model.forward_map(p, eval_moving, eval_fixed)
+        err = (psi - ident - eval_g) * scale_vox  # voxel units
+        mask = eval_moving > 0.5
+        e = jnp.sqrt(jnp.sum(err * err, axis=-1))
+        return jnp.sum(e * mask) / jnp.sum(mask), jnp.mean(e)
+
+    rng = np.random.default_rng(42)
+    lowres = (6, 12, 12)
+
+    def sample_batch():
+        ia = rng.integers(0, len(pool), batch)
+        same = rng.random(batch) < 0.5
+        ib = np.where(same, ia, rng.integers(0, len(pool), batch))
+        ua = np.stack([random_lowres_field(rng, lowres) for _ in range(batch)])
+        ub = np.stack([random_lowres_field(rng, lowres) for _ in range(batch)])
+        return (
+            pool_dev[jnp.asarray(ia)],
+            pool_dev[jnp.asarray(ib)],
+            jnp.asarray(ua),
+            jnp.asarray(ub),
+        )
+
+    best = np.inf
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    t0 = time.time()
+    for i in range(steps):
+        va, vb, ua, ub = sample_batch()
+        params, opt_state, (loss, sim, reg) = step(params, opt_state, va, vb, ua, ub)
+        if i % 25 == 0:
+            print(
+                f"step {i}: loss {float(loss):.4f} sim {float(sim):.4f} "
+                f"reg {float(reg):.4f} ({time.time() - t0:.0f}s)",
+                flush=True,
+            )
+        if i % 250 == 249 or i == steps - 1:
+            e_mask, e_all = eval_err(params)
+            e_mask = float(e_mask)
+            print(
+                f"step {i}: eval recovery error {e_mask:.3f} vox (anatomy) "
+                f"{float(e_all):.3f} vox (all)",
+                flush=True,
+            )
+            if e_mask < best:
+                best = e_mask
+                save_checkpoint(
+                    {
+                        "params": {f"stage{k}": p for k, p in enumerate(params)},
+                        "epoch": i,
+                    },
+                    is_best=False,
+                    path=out_path.parent,
+                    name=out_path.name,
+                )
+                print(f"  saved {out_path} (best {best:.3f} vox)", flush=True)
+    print(f"done in {time.time() - t0:.0f}s; best eval {best:.3f} vox")
+
+
+if __name__ == "__main__":
+    main()
