@@ -24,6 +24,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from oai_analysis_2_tpu.core.image import Image, physical_grid
 
@@ -129,6 +130,111 @@ def sample_displacement(disp: DisplacementField, points_xyz: jnp.ndarray) -> jnp
     return _trilinear_gather(disp.field, idx_zyx, 0.0)
 
 
+# -- fused warp programs ------------------------------------------------------
+#
+# The production warp (two 160x384x384 probmaps through phi_AB onto the atlas
+# grid) was round 1's #3 stage cost (5.0 s) — almost entirely eager-dispatch
+# overhead plus a second full trilinear gather to upsample the displacement
+# field. Here the whole warp is ONE jitted program, and when the output grid
+# and the field grid are axis-aligned (every real OAI case: both grids come
+# from the same LPS-oriented scan geometry) the field upsample is three
+# separable 1-D interpolation MATMULS riding the MXU instead of a 23.6M-point
+# gather. The general (non-aligned) path stays as a fused gather.
+
+
+def _interp_matrix(n_out: int, a: float, b: float, n_in: int, eps: float = 1e-3) -> np.ndarray:
+    """(n_out, n_in) 1-D linear-interpolation weights for input index
+    idx(i) = a*i + b; rows whose idx falls outside [-eps, n_in-1+eps] are
+    all-zero (matching `_trilinear_gather`'s outside->0 for displacement
+    sampling)."""
+    idx = a * np.arange(n_out, dtype=np.float64) + b
+    inside = (idx >= -eps) & (idx <= n_in - 1 + eps)
+    i0 = np.clip(np.floor(idx), 0, n_in - 1).astype(np.int64)
+    i1 = np.minimum(i0 + 1, n_in - 1)
+    f = np.clip(idx - i0, 0.0, 1.0)
+    w = np.zeros((n_out, n_in), np.float32)
+    rows = np.arange(n_out)
+    np.add.at(w, (rows, i0), (1.0 - f) * inside)
+    np.add.at(w, (rows, i1), f * inside)
+    return w
+
+
+def _separable_resize_weights(disp: DisplacementField, reference: Image):
+    """Host-side: per-array-axis (z, y, x) interpolation matrices mapping the
+    field grid onto `reference`'s grid, or None when the index map between
+    the two grids is not axis-aligned (off-diagonal terms)."""
+    m_ref = np.asarray(reference.direction, np.float64) * np.asarray(
+        reference.spacing, np.float64
+    )[None, :]
+    m_fld = np.asarray(disp.direction, np.float64) * np.asarray(disp.spacing, np.float64)[
+        None, :
+    ]
+    try:
+        m_fld_inv = np.linalg.inv(m_fld)
+    except np.linalg.LinAlgError:
+        return None
+    a = m_fld_inv @ m_ref  # xyz index map: idx_fld = a @ idx_ref + b
+    b = m_fld_inv @ (
+        np.asarray(reference.origin, np.float64) - np.asarray(disp.origin, np.float64)
+    )
+    diag = np.diag(a)
+    if not np.allclose(a, np.diag(diag), atol=1e-9 + 1e-6 * np.abs(diag).max()):
+        return None
+    shp_ref, shp_fld = reference.data.shape, disp.field.shape[:3]
+    # array axis 0 = z (xyz component 2), 1 = y, 2 = x
+    return tuple(
+        jnp.asarray(_interp_matrix(shp_ref[ax], diag[c], b[c], shp_fld[ax]))
+        for ax, c in ((0, 2), (1, 1), (2, 0))
+    )
+
+
+def _upsample_field_separable(field: jax.Array, wz, wy, wx) -> jax.Array:
+    """(Df,Hf,Wf,3) -> (Dr,Hr,Wr,3) trilinear resize as three einsum matmuls
+    (f32 accumulation — displacement vectors are millimetre quantities)."""
+    prec = jax.lax.Precision.HIGHEST
+    out = jnp.einsum("zj,jklc->zklc", wz, field, precision=prec)
+    out = jnp.einsum("yk,zklc->zylc", wy, out, precision=prec)
+    return jnp.einsum("xl,zylc->zyxc", wx, out, precision=prec)
+
+
+@jax.jit
+def _warp_jit_separable(stacked, moving: Image, reference: Image, field, wz, wy, wx,
+                        outside_value):
+    pts = physical_grid(
+        reference.data.shape, reference.origin, reference.spacing, reference.direction
+    )
+    pts = pts + _upsample_field_separable(field, wz, wy, wx)
+    idx_zyx = moving.physical_to_indices(pts)[..., ::-1]
+    return _trilinear_gather(stacked, idx_zyx, outside_value)
+
+
+@jax.jit
+def _warp_jit_general(stacked, moving: Image, reference: Image,
+                      displacement: Optional[DisplacementField], outside_value):
+    pts = physical_grid(
+        reference.data.shape, reference.origin, reference.spacing, reference.direction
+    )
+    if displacement is not None:
+        pts = pts + sample_displacement(displacement, pts)
+    idx_zyx = moving.physical_to_indices(pts)[..., ::-1]
+    return _trilinear_gather(stacked, idx_zyx, outside_value)
+
+
+def _warp_stacked(stacked, moving: Image, reference: Image,
+                  displacement: Optional[DisplacementField], outside_value: float):
+    """Route one (D,H,W,C) stack through the best fused warp program."""
+    if displacement is not None:
+        weights = _separable_resize_weights(displacement, reference)
+        if weights is not None:
+            return _warp_jit_separable(
+                stacked, moving, reference, displacement.field, *weights,
+                jnp.float32(outside_value),
+            )
+    return _warp_jit_general(
+        stacked, moving, reference, displacement, jnp.float32(outside_value)
+    )
+
+
 def resample_image(
     moving: Image,
     reference: Image,
@@ -138,12 +244,9 @@ def resample_image(
     """Pull back `moving` onto `reference`'s grid, optionally through a
     displacement transform — the TPU-native `itk.resample_image_filter(
     prob, transform=phi_AB, ...)` of dask_processing.py:100-109."""
-    pts = physical_grid(
-        reference.data.shape, reference.origin, reference.spacing, reference.direction
-    )
-    if displacement is not None:
-        pts = pts + sample_displacement(displacement, pts)
-    warped = sample_at_physical_points(moving, pts, outside_value)
+    warped = _warp_stacked(
+        moving.data[..., None], moving, reference, displacement, outside_value
+    )[..., 0]
     return Image(
         data=warped.astype(moving.data.dtype),
         origin=reference.origin,
@@ -172,13 +275,7 @@ def resample_images(
     separate resamples do all that work twice)."""
     first = movings[0]
     stacked = jnp.stack([m.data for m in movings], axis=-1)
-    pts = physical_grid(
-        reference.data.shape, reference.origin, reference.spacing, reference.direction
-    )
-    if displacement is not None:
-        pts = pts + sample_displacement(displacement, pts)
-    idx_zyx = first.physical_to_indices(pts)[..., ::-1]
-    warped = _trilinear_gather(stacked, idx_zyx, outside_value)
+    warped = _warp_stacked(stacked, first, reference, displacement, outside_value)
     return [
         Image(
             data=warped[..., c].astype(movings[c].data.dtype),
