@@ -39,8 +39,8 @@ def build_eval_pair(shape, seed=12345):
         np.linspace(0, 1, w, dtype=np.float32),
         indexing="ij",
     )
-    # ~3-voxel amplitude smooth sinusoid field, normalized units
-    amp = 0.03
+    # ~5-voxel amplitude smooth sinusoid field, normalized units
+    amp = 0.05
     g = np.stack(
         [
             amp * np.sin(3.1 * y + 0.7) * np.cos(2.3 * x),
@@ -75,7 +75,6 @@ def main():
         warp,
     )
     from oai_analysis_2_tpu.models.synthetic import (
-        apply_lowres_warp,
         make_augmented_train_step,
         make_phantom_pool,
         random_lowres_field,
@@ -96,7 +95,7 @@ def main():
     )
     opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(sched))
     opt_state = opt.init(params)
-    step = make_augmented_train_step(model, opt)
+    step = make_augmented_train_step(model, opt, sup_weight=0.3)
 
     print("generating phantom pool...", flush=True)
     pool = make_phantom_pool(96, shape, seed=7)
@@ -126,27 +125,36 @@ def main():
 
     def sample_batch():
         ia = rng.integers(0, len(pool), batch)
-        same = rng.random(batch) < 0.5
+        same = rng.random(batch) < 0.7  # known-correspondence pairs
         ib = np.where(same, ia, rng.integers(0, len(pool), batch))
-        ua = np.stack([random_lowres_field(rng, lowres) for _ in range(batch)])
-        ub = np.stack([random_lowres_field(rng, lowres) for _ in range(batch)])
+        ua = np.stack(
+            [random_lowres_field(rng, lowres, amplitude=0.05, translation=0.04)
+             for _ in range(batch)]
+        )
+        ub = np.stack(
+            [random_lowres_field(rng, lowres, amplitude=0.05, translation=0.04)
+             for _ in range(batch)]
+        )
         return (
             pool_dev[jnp.asarray(ia)],
             pool_dev[jnp.asarray(ib)],
             jnp.asarray(ua),
             jnp.asarray(ub),
+            jnp.asarray((same | (ia == ib)).astype(np.float32)),
         )
 
     best = np.inf
     out_path.parent.mkdir(parents=True, exist_ok=True)
     t0 = time.time()
     for i in range(steps):
-        va, vb, ua, ub = sample_batch()
-        params, opt_state, (loss, sim, reg) = step(params, opt_state, va, vb, ua, ub)
+        va, vb, ua, ub, same = sample_batch()
+        params, opt_state, (loss, sim, reg, sup) = step(
+            params, opt_state, va, vb, ua, ub, same
+        )
         if i % 25 == 0:
             print(
                 f"step {i}: loss {float(loss):.4f} sim {float(sim):.4f} "
-                f"reg {float(reg):.4f} ({time.time() - t0:.0f}s)",
+                f"reg {float(reg):.4f} sup {float(sup):.3f} ({time.time() - t0:.0f}s)",
                 flush=True,
             )
         if i % 250 == 249 or i == steps - 1:

@@ -133,37 +133,59 @@ def apply_lowres_warp(volume: jax.Array, u_lowres: jax.Array) -> jax.Array:
     return warp(volume, ident + u)
 
 
-def make_augmented_train_step(model: GradICON, optimizer):
-    """Jitted GradICON train step with on-device warp augmentation.
+def make_augmented_train_step(model: GradICON, optimizer, sup_weight: float = 0.0):
+    """Jitted GradICON train step with on-device warp augmentation and an
+    optional known-correspondence supervision term.
 
-    Inputs per step: (params, opt_state, vol_a, vol_b, u_a, u_b) where
-    vol_*: (N, D, H, W) phantom volumes and u_*: (N, *lowres, 3) normalized
-    low-res displacement fields. Each volume is warped by its field before
-    the self-supervised GradICON loss — so "same phantom, two warps" pairs
-    teach fine alignment and "different phantoms" pairs teach cross-anatomy
-    correspondence, mirroring how the reference's model trains on random OAI
-    knee pairs.
+    Inputs per step: (params, opt_state, vol_a, vol_b, u_a, u_b, same) where
+    vol_*: (N, D, H, W) phantom volumes, u_*: (N, *lowres, 3) normalized
+    low-res displacement fields, and same: (N,) float — 1.0 when vol_a and
+    vol_b are the SAME phantom. Each volume is warped by its field before
+    the self-supervised GradICON loss.
 
-    Returns (params, opt_state, (loss, sim, reg)).
+    For same-phantom pairs the ground-truth correspondence is known:
+    a = v o (id+u_a), b = v o (id+u_b), so a perfect phi_AB satisfies
+    (id+u_b) o phi_AB = id+u_a — the supervision is the residual of that
+    COMPOSITION (no field inversion needed), scaled to voxel units. This is
+    the SynthMorph recipe (synthetic shapes + known deformations) adapted to
+    GradICON: LNCC alone barely converges on texture phantoms because the
+    noise is uninformative across pairs, while the composition residual is a
+    dense noise-free signal. Cross-anatomy pairs (same=0) still train purely
+    self-supervised, like the reference's random OAI knee pairs.
+
+    Returns (params, opt_state, (loss, sim, reg, sup)).
     """
     import optax
 
-    def step(params, opt_state, vol_a, vol_b, u_a, u_b):
+    from oai_analysis_2_tpu.models.gradicon import compose
+
+    def step(params, opt_state, vol_a, vol_b, u_a, u_b, same):
         def batch_loss(p):
-            def one(va, vb, ua, ub):
-                a = apply_lowres_warp(va, ua)
-                b = apply_lowres_warp(vb, ub)
-                l, (sim, reg, _, _) = model.loss(p, a, b)
-                return l, (sim, reg)
+            def one(va, vb, ua_low, ub_low, s):
+                shape = va.shape
+                ident = identity_map(shape)
+                ua = resize_field(ua_low, shape)
+                ub = resize_field(ub_low, shape)
+                a = warp(va, ident + ua)
+                b = warp(vb, ident + ub)
+                l, (sim, reg, phi_ab, phi_ba) = model.loss(p, a, b)
+                scale = jnp.asarray([d - 1.0 for d in shape], jnp.float32)
+                res_ab = (compose(ident + ub, phi_ab) - (ident + ua)) * scale
+                res_ba = (compose(ident + ua, phi_ba) - (ident + ub)) * scale
+                sup = 0.5 * (
+                    jnp.mean(jnp.sum(res_ab * res_ab, axis=-1))
+                    + jnp.mean(jnp.sum(res_ba * res_ba, axis=-1))
+                )
+                return l + s * sup_weight * sup, (sim, reg, s * sup)
 
-            losses, (sims, regs) = jax.vmap(one)(vol_a, vol_b, u_a, u_b)
-            return jnp.mean(losses), (jnp.mean(sims), jnp.mean(regs))
+            losses, (sims, regs, sups) = jax.vmap(one)(vol_a, vol_b, u_a, u_b, same)
+            return jnp.mean(losses), (jnp.mean(sims), jnp.mean(regs), jnp.mean(sups))
 
-        (loss_val, (sim, reg)), grads = jax.value_and_grad(batch_loss, has_aux=True)(
-            params
-        )
+        (loss_val, (sim, reg, sup)), grads = jax.value_and_grad(
+            batch_loss, has_aux=True
+        )(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, (loss_val, sim, reg)
+        return params, opt_state, (loss_val, sim, reg, sup)
 
     return jax.jit(step)

@@ -67,11 +67,18 @@ class TestAugmentedTraining:
         rng = np.random.default_rng(0)
         ua = np.stack([random_lowres_field(rng, (4, 4, 4))])
         ub = np.stack([random_lowres_field(rng, (4, 4, 4))])
-        p2, opt_state, (loss, sim, reg) = step(
+        p2, opt_state, (loss, sim, reg, sup) = step(
             params, opt_state, jnp.asarray(pool[:1]), jnp.asarray(pool[1:2]),
-            jnp.asarray(ua), jnp.asarray(ub),
+            jnp.asarray(ua), jnp.asarray(ub), jnp.asarray([0.0]),
         )
         assert np.isfinite(float(loss)) and np.isfinite(float(sim)) and np.isfinite(float(reg))
+        assert float(sup) == 0.0  # different-phantom pair: supervision gated off
+        # same-phantom pair with distinct warps: composition residual is live
+        _, _, (_, _, _, sup_same) = step(
+            params, opt_state, jnp.asarray(pool[:1]), jnp.asarray(pool[:1]),
+            jnp.asarray(ua), jnp.asarray(ub), jnp.asarray([1.0]),
+        )
+        assert float(sup_same) > 0.0
         # parameters actually moved
         moved = np.abs(
             np.asarray(p2[0]["enc0a"]["kernel"]) - np.asarray(params[0]["enc0a"]["kernel"])
