@@ -88,7 +88,7 @@ def main():
 
     sched = optax.warmup_cosine_decay_schedule(
         init_value=0.0,
-        peak_value=2e-4,
+        peak_value=5e-4,
         warmup_steps=min(100, steps // 10 + 1),
         decay_steps=steps,
         end_value=2e-5,

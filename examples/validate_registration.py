@@ -7,7 +7,11 @@ recovered field inside the anatomy (mm) plus the image-match improvement.
 This is the no-golden-data substitute for the reference's (smoke-only)
 registration tests (test_all.py:72-99).
 
-Usage:  python examples/validate_registration.py [grid_z grid_y grid_x]
+Usage:  python examples/validate_registration.py [grid_z grid_y grid_x] [--network [finetune_steps]]
+
+--network registers with the shipped trained GradICON weights (one forward
+pass + optional per-pair fine-tuning steps) instead of full instance
+optimization — the production "auto" path once weights exist.
 """
 
 import sys
@@ -36,7 +40,10 @@ def main():
     )
     from oai_analysis_2_tpu.core.image import physical_grid
 
-    shape = tuple(int(a) for a in sys.argv[1:4]) if len(sys.argv) > 3 else (80, 192, 192)
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    use_network = "--network" in sys.argv
+    finetune = int(args[3]) if use_network and len(args) > 3 else 10
+    shape = tuple(int(a) for a in args[:3]) if len(args) >= 3 else (80, 192, 192)
     spacing = (0.36, 0.36, 0.7)
     rng = np.random.default_rng(0)
 
@@ -68,10 +75,22 @@ def main():
     moving = resample_image(fixed, fixed, displacement=gt_field)
 
     t0 = time.time()
-    phi_ab, _ = register_pair(
-        fixed, moving, config=GradICONConfig(),
-        instance_scales=(4, 2, 1), instance_steps=(80, 60, 40),
-    )
+    if use_network:
+        from oai_analysis_2_tpu.models.gradicon import (
+            GradICON,
+            load_gradicon_params,
+        )
+
+        cfg = GradICONConfig()
+        phi_ab, _ = register_pair(
+            fixed, moving, model=GradICON(cfg), params=load_gradicon_params(),
+            config=cfg, finetune_steps=finetune,
+        )
+    else:
+        phi_ab, _ = register_pair(
+            fixed, moving, config=GradICONConfig(),
+            instance_scales=(4, 2, 1), instance_steps=(80, 60, 40),
+        )
     jax.block_until_ready(phi_ab.field)
     dt = time.time() - t0
 
@@ -86,7 +105,8 @@ def main():
     est = np.asarray(sample_displacement(phi_ab, jnp.asarray(pts)))
     mask = shell > 0.5
     err = np.linalg.norm(est[mask] - gt[mask], axis=-1)
-    print(f"grid {shape}; registration {dt:.1f}s")
+    mode = f"network+ft{finetune}" if use_network else "instance"
+    print(f"grid {shape}; registration ({mode}) {dt:.1f}s")
     print(f"image MSE: before {before:.5f} -> after {after:.5f} ({after / before:.2%})")
     print(f"field error in anatomy (mm, GT amplitude {amp}): "
           f"mean {err.mean():.3f}  median {np.median(err):.3f}  p95 {np.percentile(err, 95):.3f}")

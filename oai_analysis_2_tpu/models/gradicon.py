@@ -202,9 +202,19 @@ class GradICON:
             for _ in config.scales
         ]
 
-    def init(self, key: jax.Array) -> List[dict]:
+    def init(self, key: jax.Array, zero_heads: bool = True) -> List[dict]:
+        """zero_heads: zero the displacement-head convs so the untrained
+        network IS the identity transform — registration nets train far more
+        stably from identity than from random initial fields (every stage's
+        tanh(u)*scale starts at 0 instead of random ~0.2-amplitude warps
+        that downstream stages must first unlearn)."""
         keys = jax.random.split(key, len(self.stages))
-        return [m.init(k) for m, k in zip(self.stages, keys)]
+        params = [m.init(k) for m, k in zip(self.stages, keys)]
+        if zero_heads:
+            params = [
+                {**p, "head": jax.tree.map(jnp.zeros_like, p["head"])} for p in params
+            ]
+        return params
 
     # -- single direction -------------------------------------------------------
 

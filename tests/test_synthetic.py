@@ -79,8 +79,10 @@ class TestAugmentedTraining:
             jnp.asarray(ua), jnp.asarray(ub), jnp.asarray([1.0]),
         )
         assert float(sup_same) > 0.0
-        # parameters actually moved
+        # parameters actually moved (heads start at zero — the identity
+        # transform — so the first step's gradient lands on the heads)
         moved = np.abs(
-            np.asarray(p2[0]["enc0a"]["kernel"]) - np.asarray(params[0]["enc0a"]["kernel"])
+            np.asarray(p2[0]["head"]["kernel"]) - np.asarray(params[0]["head"]["kernel"])
         ).max()
         assert moved > 0
+        assert np.abs(np.asarray(params[0]["head"]["kernel"])).max() == 0.0
