@@ -118,6 +118,7 @@ def build_pipeline():
         instance_steps=(80, 60, 40),
         registration_mode="auto",
         finetune_steps=10,
+        warp_dtype="bfloat16",  # validated <4e-3 probmap error (test_resample)
     )
 
     def one_knee():

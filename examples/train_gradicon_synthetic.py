@@ -17,6 +17,7 @@ Usage:
     python examples/train_gradicon_synthetic.py [steps] [batch] [out.npz]
 """
 
+import os
 import sys
 import time
 from pathlib import Path
@@ -85,17 +86,27 @@ def main():
     shape = cfg.grid_shape
     model = GradICON(cfg, compute_dtype=jnp.bfloat16)
     params = model.init(jax.random.PRNGKey(0))
+    resume = os.environ.get("GRADICON_RESUME")
+    if resume:  # continue training from an existing checkpoint
+        from oai_analysis_2_tpu.models.gradicon import load_gradicon_params
 
+        params = load_gradicon_params(resume)
+        print(f"resumed from {resume}", flush=True)
+
+    sup_w = float(os.environ.get("GRADICON_SUP_W", "0.3"))
+    sim_w = float(os.environ.get("GRADICON_SIM_W", "1.0"))
+    peak_lr = float(os.environ.get("GRADICON_LR", "5e-4"))
+    print(f"hyperparams: sup_w {sup_w} sim_w {sim_w} peak_lr {peak_lr}", flush=True)
     sched = optax.warmup_cosine_decay_schedule(
         init_value=0.0,
-        peak_value=5e-4,
+        peak_value=peak_lr,
         warmup_steps=min(100, steps // 10 + 1),
         decay_steps=steps,
         end_value=2e-5,
     )
     opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(sched))
     opt_state = opt.init(params)
-    step = make_augmented_train_step(model, opt, sup_weight=0.3)
+    step = make_augmented_train_step(model, opt, sup_weight=sup_w, sim_weight=sim_w)
 
     print("generating phantom pool...", flush=True)
     pool = make_phantom_pool(96, shape, seed=7)
@@ -157,7 +168,7 @@ def main():
                 f"reg {float(reg):.4f} sup {float(sup):.3f} ({time.time() - t0:.0f}s)",
                 flush=True,
             )
-        if i % 250 == 249 or i == steps - 1:
+        if i % 125 == 124 or i == steps - 1:
             e_mask, e_all = eval_err(params)
             e_mask = float(e_mask)
             print(

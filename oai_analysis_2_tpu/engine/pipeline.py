@@ -52,11 +52,16 @@ class KneePipeline:
         registration_mode: str = "auto",
         finetune_steps: int = 0,
         finetune_scales: Tuple[int, ...] = (2,),
+        warp_dtype: str = "float32",
     ):
         """registration_mode: "auto" uses the shipped trained GradICON when
         its weights exist (one forward pass + `finetune_steps` of per-pair
         refinement), else instance optimization; or force "network" /
-        "instance"."""
+        "instance".
+
+        warp_dtype: "bfloat16" gathers probmap voxels at half HBM bandwidth
+        during the warp stage (<~4e-3 absolute error on [0,1] maps — see
+        ops.resample.resample_images); "float32" (default) is exact."""
         from oai_analysis_2_tpu.engine.registration import ICON_Registration
 
         self.segmenter = segmenter
@@ -65,6 +70,7 @@ class KneePipeline:
         self.instance_scales = instance_scales
         self.instance_steps = instance_steps
         self.normalize = normalize
+        self.warp_dtype = warp_dtype
         self.registerer = ICON_Registration(
             mode=registration_mode,
             config=self.reg_config,
@@ -90,7 +96,12 @@ class KneePipeline:
             jax.block_until_ready(phi_ab.field)
 
         with timer.stage("warp"):
-            fc_w, tc_w = resample_images([fc, tc], self.atlas, displacement=phi_ab)
+            import jax.numpy as jnp
+
+            wdt = jnp.bfloat16 if self.warp_dtype == "bfloat16" else None
+            fc_w, tc_w = resample_images(
+                [fc, tc], self.atlas, displacement=phi_ab, compute_dtype=wdt
+            )
             jax.block_until_ready((fc_w.data, tc_w.data))
 
         with timer.stage("thickness"):

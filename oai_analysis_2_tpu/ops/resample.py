@@ -268,13 +268,23 @@ def resample_images(
     reference: Image,
     displacement: Optional[DisplacementField] = None,
     outside_value: float = 0.0,
+    compute_dtype=None,
 ):
     """Warp several same-grid volumes in one fused pass: the output grid,
     displacement sampling, and gather indices are computed once and the
     sources gathered as channels (FC+TC probmaps share a knee grid — two
-    separate resamples do all that work twice)."""
+    separate resamples do all that work twice).
+
+    compute_dtype=jnp.bfloat16 gathers the source voxels at half the HBM
+    bandwidth (indices, interpolation weights and blending stay f32; only
+    the 8 corner reads are bf16). For [0,1] probability maps the error is
+    <~4e-3 absolute — far below the 0.5-level iso-surface sensitivity —
+    making it the right production setting for probmap warps; outputs are
+    cast back to each input's dtype."""
     first = movings[0]
     stacked = jnp.stack([m.data for m in movings], axis=-1)
+    if compute_dtype is not None:
+        stacked = stacked.astype(compute_dtype)
     warped = _warp_stacked(stacked, first, reference, displacement, outside_value)
     return [
         Image(

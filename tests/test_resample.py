@@ -162,3 +162,24 @@ class TestSeparableFieldUpsample:
         assert np.isfinite(out).all()
         # interior differs from un-warped (the field did something)...
         assert np.abs(out - np.asarray(mov.data)).max() > 0.05
+
+    def test_bf16_gather_accuracy_on_probmaps(self):
+        """bfloat16-gather warp (the production probmap setting) stays within
+        4e-3 of the f32 warp on smooth [0,1] probability maps."""
+        import jax.numpy as jnp
+
+        from oai_analysis_2_tpu.ops.resample import resample_images
+
+        rng = np.random.default_rng(11)
+        z, y, x = np.meshgrid(*[np.linspace(0, 3, 14)] * 3, indexing="ij")
+        prob = (0.5 + 0.5 * np.sin(z) * np.cos(y) * np.sin(x + 0.3)).astype(np.float32)
+        mov = image_from_array(prob, spacing=(1.0, 1.0, 1.0))
+        ref = image_from_array(np.zeros((14, 14, 14), np.float32), origin=(0.3, 0.2, 0.1))
+        fgrid = image_from_array(np.zeros((6, 6, 6), np.float32), spacing=(2.6, 2.6, 2.6))
+        disp = self._smooth_field(rng, (6, 6, 6), fgrid, amp=1.0)
+        exact = np.asarray(resample_images([mov], ref, displacement=disp)[0].data)
+        fast = np.asarray(
+            resample_images([mov], ref, displacement=disp, compute_dtype=jnp.bfloat16)[0].data
+        )
+        assert fast.dtype == np.float32  # cast back to the input dtype
+        np.testing.assert_allclose(fast, exact, atol=4e-3)
