@@ -117,7 +117,7 @@ def build_pipeline():
         instance_scales=(4, 2, 1),
         instance_steps=(80, 60, 40),
         registration_mode="auto",
-        finetune_steps=10,
+        finetune_steps=20,  # scale-2 refinement at lr 0.15 (ft sweep winner)
         warp_dtype="bfloat16",  # validated <4e-3 probmap error (test_resample)
     )
 
@@ -168,6 +168,13 @@ def main():
         "tc_mesh_points": int(tc_inner.n_points),
         "fc_thickness_median_mm": round(fc_med, 3),
         "stage_seconds": {k: v["seconds"] for k, v in result.timings.items()},
+        # BASELINE.md tracked metric: 3D UNet voxels/sec through the segment
+        # stage (overlap tiles on the 160x384x384 volume)
+        "unet_voxels_per_sec": round(
+            pipe.segmenter.partition.num_tiles((160, 384, 384))
+            * int(np.prod(pipe.segmenter.partition.tile_size))
+            / result.timings["segment"]["seconds"]
+        ),
     }
     print(json.dumps(result_json))
 

@@ -154,7 +154,9 @@ def main():
             jnp.asarray((same | (ia == ib)).astype(np.float32)),
         )
 
-    best = np.inf
+    # never overwrite a better checkpoint from a previous cycle (warm-restart
+    # training): start the best-tracker from GRADICON_BEST if given
+    best = float(os.environ.get("GRADICON_BEST", "inf"))
     out_path.parent.mkdir(parents=True, exist_ok=True)
     t0 = time.time()
     for i in range(steps):

@@ -52,6 +52,7 @@ class KneePipeline:
         registration_mode: str = "auto",
         finetune_steps: int = 0,
         finetune_scales: Tuple[int, ...] = (2,),
+        finetune_lr: float = 0.15,
         warp_dtype: str = "float32",
     ):
         """registration_mode: "auto" uses the shipped trained GradICON when
@@ -78,6 +79,7 @@ class KneePipeline:
             instance_scales=instance_scales,
             finetune_steps=finetune_steps,
             finetune_scales=finetune_scales,
+            finetune_lr=finetune_lr,
         )
 
     def run(self, image: Image) -> KneeResult:

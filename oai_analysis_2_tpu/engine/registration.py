@@ -99,6 +99,7 @@ def register_pair(
     diffusion_weight: float = 0.3,
     finetune_steps: int = 0,
     finetune_scales: Tuple[int, ...] = (2,),
+    finetune_lr: float = 0.15,
 ) -> Tuple[DisplacementField, DisplacementField]:
     """Register two physical-space images; returns (phi_AB, phi_BA) as
     displacement fields. phi_AB warps A-grid data onto B's grid (it maps
@@ -125,11 +126,15 @@ def register_pair(
         # Trained-network path: phi_ab warps B onto A's grid.
         nmap_ab, nmap_ba = _jitted_both_maps(model)(params, a, b)
         if finetune_steps:
+            # refining a good network init needs far smaller steps than
+            # cold-start instance optimization (lr 1.2 voxels/step WORSENS
+            # the network's solution; 0.15 reliably improves it)
             nmap_ab, nmap_ba = register_pair_instance(
                 a,
                 b,
                 scales=finetune_scales,
                 steps_per_scale=finetune_steps,
+                lr=finetune_lr,
                 lncc_window=cfg.lncc_window,
                 lambda_reg=lambda_reg,
                 diffusion_weight=diffusion_weight,
@@ -176,6 +181,7 @@ class ICON_Registration:
         instance_scales: Tuple[int, ...] = (4, 2, 1),
         finetune_steps: int = 0,
         finetune_scales: Tuple[int, ...] = (2,),
+        finetune_lr: float = 0.15,
         verbose: bool = False,
     ):
         from oai_analysis_2_tpu.models.gradicon import (
@@ -188,6 +194,7 @@ class ICON_Registration:
         self.instance_scales = instance_scales
         self.finetune_steps = finetune_steps
         self.finetune_scales = finetune_scales
+        self.finetune_lr = finetune_lr
         self.verbose = verbose
         self.model: Optional[GradICON] = None
         self.params: Optional[List[dict]] = None
@@ -252,5 +259,6 @@ class ICON_Registration:
             instance_scales=self.instance_scales,
             finetune_steps=self.finetune_steps,
             finetune_scales=self.finetune_scales,
+            finetune_lr=self.finetune_lr,
         )
         return phi_ab
