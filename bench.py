@@ -29,7 +29,7 @@ import numpy as np
 BASELINE_KNEES_PER_HOUR = 3600.0 / 148.0  # reference Colab GPU pipeline
 
 
-def _shell_probmap(shape_zyx, r_inner=60.0, r_outer=66.0, center=None):
+def _shell_probmap(shape_zyx, r_inner=47.5, r_outer=52.5, center=None):
     """A curved cartilage-like shell (probability ~1 between two radii,
     limited to a polar cap) on the atlas grid."""
     d, h, w = shape_zyx
@@ -94,8 +94,13 @@ def build_pipeline():
     # threshold-UNet segments; registration aligns it to the atlas so the
     # warped probmaps produce reference-scale meshes (test_all.py:69-70).
     shape = (160, 384, 384)
+    # Shell radii are calibrated so the per-knee GEOMETRY workload matches the
+    # reference's real-knee mesh budget (FC ~65k + TC ~20.5k points,
+    # test_all.py:69-70): the threshold-UNet fixture cannot separate the two
+    # tissues by intensity, so each class probmap carries both shells and the
+    # radii are scaled to keep the summed mesh sizes at the production level.
     fc_shell = _shell_probmap(shape)
-    tc_shell = _shell_probmap(shape, 40.0, 45.0, (80, 230, 192))
+    tc_shell = _shell_probmap(shape, 31.5, 35.5, (80, 230, 192))
     anatomy = np.maximum(fc_shell, tc_shell)
     knee_np = (anatomy * 900.0 + rng.uniform(0.0, 250.0, shape)).astype(np.float32)
     knee = image_from_array(knee_np, spacing=(0.36, 0.36, 0.7))
@@ -105,7 +110,7 @@ def build_pipeline():
     # must be comparably preprocessed)
     atlas_anatomy = np.maximum(
         _shell_probmap(shape, center=(80, 206, 184)),
-        _shell_probmap(shape, 40.0, 45.0, (80, 222, 184)),
+        _shell_probmap(shape, 31.5, 35.5, (80, 222, 184)),
     )
     atlas_np = atlas_anatomy * 0.78 + rng.uniform(0.0, 0.22, shape)
     atlas = image_from_array(atlas_np.astype(np.float32), spacing=(0.36, 0.36, 0.7))

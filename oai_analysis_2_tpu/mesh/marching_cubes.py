@@ -137,7 +137,9 @@ def _device_fns():
         codes = _codes(inside)
         active = (codes > 0) & (codes < 255)
         n_tris = jnp.sum(tri_count_lut[codes.astype(jnp.int32)])
-        return n_vx + n_vy + n_vz, jnp.sum(active), n_tris
+        # ONE packed array -> one host sync (three scalars cost three tunnel
+        # round-trips at ~0.1-0.2 s each)
+        return jnp.stack([n_vx + n_vy + n_vz, jnp.sum(active), n_tris])
 
     @functools.partial(jax.jit, static_argnames=("vb", "mb", "tb"))
     def extract(vol, level, spacing, vb: int, mb: int, tb: int):
@@ -213,7 +215,7 @@ def _marching_cubes_device(vol, level: float, spacing) -> Mesh:
     from oai_analysis_2_tpu.ops.bucketing import bucket_size
 
     count, extract = _device_fns()
-    n_verts, n_active, n_tris = (int(x) for x in count(vol, jnp.float32(level)))
+    n_verts, n_active, n_tris = (int(x) for x in np.asarray(count(vol, jnp.float32(level))))
     if n_tris == 0:
         return Mesh(np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32))
     vb = bucket_size(max(n_verts, 256))
