@@ -25,7 +25,7 @@ Design (idiomatic JAX, everything jit/vmap/grad-friendly):
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+import functools
 from typing import List, Sequence, Tuple
 
 import jax
@@ -341,9 +341,6 @@ def register_pair_instance(
     1.2 GB pretrained download; this path requires nothing) — and it runs
     entirely on TPU under jit.
     """
-    import optax
-
-    sim_fn = make_similarity(similarity, lncc_window)
     if isinstance(steps_per_scale, int):
         steps_per_scale = [steps_per_scale] * len(scales)
     full_shape = a.shape
@@ -361,54 +358,99 @@ def register_pair_instance(
     for scale, n_steps in zip(scales, steps_per_scale):
         a_s, b_s = pyramid(a, scale), pyramid(b, scale)
         shape_s = a_s.shape
-        ident_s = identity_map(shape_s)
+        runner = _scale_runner(
+            shape_s,
+            full_shape,
+            int(n_steps),
+            float(lr),
+            int(lncc_window),
+            str(similarity),
+            float(lambda_reg),
+            float(diffusion_weight),
+            bool(verbose),
+        )
         base_ab = resize_field(phi_ab, shape_s)
         base_ba = resize_field(phi_ba, shape_s)
-        u0 = jnp.zeros(shape_s + (3,), jnp.float32)
-        params = {"u_ab": u0, "u_ba": u0}
-
-        def loss_fn(p, base_ab=base_ab, base_ba=base_ba, a_s=a_s, b_s=b_s, ident_s=ident_s):
-            pab = compose(base_ab, ident_s + p["u_ab"])
-            pba = compose(base_ba, ident_s + p["u_ba"])
-            # image warps (the dominant gathers) in bf16; LNCC statistics,
-            # penalties and the fields themselves stay f32
-            wb = warp(b_s.astype(jnp.bfloat16), pab).astype(jnp.float32)
-            wa = warp(a_s.astype(jnp.bfloat16), pba).astype(jnp.float32)
-            sim = sim_fn(a_s, wb) + sim_fn(b_s, wa)
-            reg = gradicon_penalty(pab, pba)
-            smooth = diffusion_penalty(pab) + diffusion_penalty(pba)
-            return sim + lambda_reg * reg + diffusion_weight * smooth
-
-        lr_norm = lr / float(max(shape_s))
-        optimizer = optax.adam(lr_norm)
-        opt_state = optimizer.init(params)
-
-        @jax.jit
-        def opt_step(params, opt_state):
-            l, g = jax.value_and_grad(loss_fn)(params)
-            updates, opt_state = optimizer.update(g, opt_state, params)
-            return optax.apply_updates(params, updates), opt_state, l
-
-        if verbose:
-            for i in range(n_steps):
-                params, opt_state, l = opt_step(params, opt_state)
-                if i % 20 == 0:
-                    print(f"scale {scale} step {i}: loss {float(l):.4f}")
-        else:
-            # the whole scale's Adam loop runs as ONE device program —
-            # per-step host dispatches are pure overhead on tunneled chips
-            @partial(jax.jit, static_argnames=("steps",))
-            def run_scale(params, opt_state, steps: int):
-                def body(_, carry):
-                    p, o = carry
-                    p2, o2, _ = opt_step(p, o)
-                    return (p2, o2)
-
-                return jax.lax.fori_loop(0, steps, body, (params, opt_state))
-
-            params, opt_state = run_scale(params, opt_state, n_steps)
-
-        phi_ab = resize_field(compose(base_ab, ident_s + params["u_ab"]), full_shape)
-        phi_ba = resize_field(compose(base_ba, ident_s + params["u_ba"]), full_shape)
+        phi_ab, phi_ba = runner(base_ab, base_ba, a_s, b_s)
 
     return phi_ab, phi_ba
+
+
+@functools.lru_cache(maxsize=64)
+def _scale_runner(
+    shape_s,
+    full_shape,
+    n_steps: int,
+    lr: float,
+    lncc_window: int,
+    similarity: str,
+    lambda_reg: float,
+    diffusion_weight: float,
+    verbose: bool,
+):
+    """One CACHED jitted program for a whole scale of instance optimization:
+    init + n_steps of fused Adam + compose + resize back to full resolution.
+
+    Defining the jitted step inline (round 1) meant a fresh closure — and a
+    full RETRACE — on every `register_pair_instance` call: ~4 s of host-side
+    tracing per registration on this 1-core machine, dwarfing the actual
+    device time of a 20-step fine-tune (<0.3 s). The cache key is the full
+    static configuration, so repeated registrations (the cohort case) reuse
+    the compiled program."""
+    import optax
+
+    sim_fn = make_similarity(similarity, lncc_window)
+    ident_s = identity_map(shape_s)
+    lr_norm = lr / float(max(shape_s))
+    optimizer = optax.adam(lr_norm)
+
+    def loss_fn(p, base_ab, base_ba, a_s, b_s):
+        pab = compose(base_ab, ident_s + p["u_ab"])
+        pba = compose(base_ba, ident_s + p["u_ba"])
+        # image warps (the dominant gathers) in bf16; LNCC statistics,
+        # penalties and the fields themselves stay f32
+        wb = warp(b_s.astype(jnp.bfloat16), pab).astype(jnp.float32)
+        wa = warp(a_s.astype(jnp.bfloat16), pba).astype(jnp.float32)
+        sim = sim_fn(a_s, wb) + sim_fn(b_s, wa)
+        reg = gradicon_penalty(pab, pba)
+        smooth = diffusion_penalty(pab) + diffusion_penalty(pba)
+        return sim + lambda_reg * reg + diffusion_weight * smooth
+
+    def opt_step(params, opt_state, base_ab, base_ba, a_s, b_s):
+        l, g = jax.value_and_grad(loss_fn)(params, base_ab, base_ba, a_s, b_s)
+        updates, opt_state = optimizer.update(g, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, l
+
+    @jax.jit
+    def run(base_ab, base_ba, a_s, b_s):
+        u0 = jnp.zeros(shape_s + (3,), jnp.float32)
+        params = {"u_ab": u0, "u_ba": u0}
+        opt_state = optimizer.init(params)
+
+        def body(_, carry):
+            p, o = carry
+            p2, o2, _ = opt_step(p, o, base_ab, base_ba, a_s, b_s)
+            return (p2, o2)
+
+        params, _ = jax.lax.fori_loop(0, n_steps, body, (params, opt_state))
+        phi_ab = resize_field(compose(base_ab, ident_s + params["u_ab"]), full_shape)
+        phi_ba = resize_field(compose(base_ba, ident_s + params["u_ba"]), full_shape)
+        return phi_ab, phi_ba
+
+    if not verbose:
+        return run
+
+    def run_verbose(base_ab, base_ba, a_s, b_s):
+        u0 = jnp.zeros(shape_s + (3,), jnp.float32)
+        params = {"u_ab": u0, "u_ba": u0}
+        opt_state = optimizer.init(params)
+        step = jax.jit(opt_step)
+        for i in range(n_steps):
+            params, opt_state, l = step(params, opt_state, base_ab, base_ba, a_s, b_s)
+            if i % 20 == 0:
+                print(f"scale shape {shape_s} step {i}: loss {float(l):.4f}")
+        phi_ab = resize_field(compose(base_ab, ident_s + params["u_ab"]), full_shape)
+        phi_ba = resize_field(compose(base_ba, ident_s + params["u_ba"]), full_shape)
+        return phi_ab, phi_ba
+
+    return run_verbose
