@@ -82,7 +82,7 @@ def build_pipeline():
         config={
             "ckpoint_path": str(tmp / "seg.npz"),
             "training_config_file": str(tmp / "train_config.json"),
-            "batch_size": 4,
+            "batch_size": 8,  # scan-step sweet spot on v5e (4: 3.4s, 8: 2.4s)
             "overlap_size": (16, 16, 8),
             "compute_dtype": "bfloat16",
         },
