@@ -136,3 +136,47 @@ class TestGradICONTraining:
             losses.append(float(loss))
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0]
+
+
+class TestScaleRunnerCache:
+    def test_instance_scale_program_is_cached(self):
+        """Round-2 regression guard: register_pair_instance must NOT rebuild
+        (and re-trace) its jitted scale program per call — the round-1
+        closure-per-call pattern cost ~4s host time per registration."""
+        import jax.numpy as jnp
+
+        from oai_analysis_2_tpu.models.gradicon import (
+            _scale_runner,
+            register_pair_instance,
+        )
+
+        rng = np.random.default_rng(0)
+        a = jnp.asarray(rng.uniform(0, 1, (8, 16, 16)).astype(np.float32))
+        b = jnp.asarray(rng.uniform(0, 1, (8, 16, 16)).astype(np.float32))
+        register_pair_instance(a, b, scales=(2,), steps_per_scale=2)
+        before = _scale_runner.cache_info()
+        register_pair_instance(a, b, scales=(2,), steps_per_scale=2)
+        after = _scale_runner.cache_info()
+        assert after.hits == before.hits + 1  # same program object reused
+        assert after.misses == before.misses
+
+
+class TestShippedWeights:
+    def test_auto_mode_resolves_to_network(self):
+        """With the packaged gradicon.npz present, ICON_Registration("auto")
+        must pick the trained-network path (the reference's pretrained
+        behavior, registration.py:20) and expose loaded params."""
+        from oai_analysis_2_tpu.engine.registration import ICON_Registration
+        from oai_analysis_2_tpu.models.gradicon import (
+            GradICONConfig,
+            default_gradicon_weights_path,
+        )
+
+        if not default_gradicon_weights_path().exists():
+            pytest.skip("weights not shipped in this checkout")
+        reg = ICON_Registration(mode="auto", config=GradICONConfig())
+        assert reg.mode == "network"
+        assert reg.params is not None and len(reg.params) == 3
+        # stage params carry the trained (nonzero) displacement heads
+        head = np.asarray(reg.params[0]["head"]["kernel"])
+        assert np.abs(head).max() > 0
