@@ -105,7 +105,7 @@ def make_sharded_gradicon_train_step(model, optimizer, mesh: Mesh):
     The reference trains registration on a single GPU (external
     icon_registration); here pair batches shard over the mesh's `data` axis
     and XLA all-reduces the gradients over ICI — the multi-chip analog of
-    examples/train_gradicon_synth.py's single-chip loop. Params replicate
+    examples/train_gradicon_synthetic.py's single-chip loop. Params replicate
     (a few MB; no need for tensor sharding at this size).
 
     a, b: (N, D, H, W) image pairs on the registration grid, N % n_data == 0.
