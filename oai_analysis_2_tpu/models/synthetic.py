@@ -133,7 +133,9 @@ def apply_lowres_warp(volume: jax.Array, u_lowres: jax.Array) -> jax.Array:
     return warp(volume, ident + u)
 
 
-def make_augmented_train_step(model: GradICON, optimizer, sup_weight: float = 0.0):
+def make_augmented_train_step(
+    model: GradICON, optimizer, sup_weight: float = 0.0, sim_weight: float = 1.0
+):
     """Jitted GradICON train step with on-device warp augmentation and an
     optional known-correspondence supervision term.
 
@@ -153,6 +155,12 @@ def make_augmented_train_step(model: GradICON, optimizer, sup_weight: float = 0.
     dense noise-free signal. Cross-anatomy pairs (same=0) still train purely
     self-supervised, like the reference's random OAI knee pairs.
 
+    sim_weight scales the LNCC similarity term: on texture phantoms its
+    gradient is mostly noise (uncorrelated texture across pairs), which can
+    swamp the clean supervised signal in Adam's per-parameter normalization —
+    SynthMorph-style mostly-supervised training uses a small sim_weight.
+    The GradICON regularity penalty keeps its configured weight regardless.
+
     Returns (params, opt_state, (loss, sim, reg, sup)).
     """
     import optax
@@ -168,7 +176,8 @@ def make_augmented_train_step(model: GradICON, optimizer, sup_weight: float = 0.
                 ub = resize_field(ub_low, shape)
                 a = warp(va, ident + ua)
                 b = warp(vb, ident + ub)
-                l, (sim, reg, phi_ab, phi_ba) = model.loss(p, a, b)
+                _, (sim, reg, phi_ab, phi_ba) = model.loss(p, a, b)
+                l = sim_weight * sim + model.config.lambda_reg * reg
                 scale = jnp.asarray([d - 1.0 for d in shape], jnp.float32)
                 res_ab = (compose(ident + ub, phi_ab) - (ident + ua)) * scale
                 res_ba = (compose(ident + ua, phi_ba) - (ident + ub)) * scale
