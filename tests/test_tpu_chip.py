@@ -100,3 +100,44 @@ class TestMarchingCubesOnChip:
         hv = host.vertices[np.lexsort(host.vertices.T)]
         dv = dev.vertices[np.lexsort(dev.vertices.T)]
         np.testing.assert_allclose(hv, dv, atol=1e-4)
+
+
+class TestNetworkRegistrationOnChip:
+    def test_shipped_weights_register_on_chip(self):
+        """The production registration path (shipped GradICON weights + low-lr
+        fine-tune) must run on the real chip and recover a deliberate shift
+        direction — an on-chip e2e guard for the round-2 network mode."""
+        import jax
+        import jax.numpy as jnp
+
+        from oai_analysis_2_tpu.core.image import image_from_array
+        from oai_analysis_2_tpu.engine.registration import ICON_Registration
+        from oai_analysis_2_tpu.models.gradicon import (
+            GradICONConfig,
+            default_gradicon_weights_path,
+        )
+
+        if not default_gradicon_weights_path().exists():
+            pytest.skip("weights not shipped in this checkout")
+        shape = (48, 96, 96)
+        rng = np.random.default_rng(5)
+        z, y, x = np.meshgrid(*[np.arange(s, dtype=np.float32) for s in shape], indexing="ij")
+        rr = np.sqrt(((z - 24) * 2.4) ** 2 + (y - 52) ** 2 + (x - 48) ** 2)
+        shell = np.clip(1.0 - np.abs(rr - 14.0) / 2.0, 0, 1) * (y < 52)
+        vol = (shell * 0.8 + rng.uniform(0, 0.2, shape)).astype(np.float32)
+        fixed = image_from_array(vol, spacing=(1.0, 1.0, 1.0))
+        moving = image_from_array(np.roll(vol, 3, axis=1), spacing=(1.0, 1.0, 1.0))
+
+        reg = ICON_Registration(mode="auto", config=GradICONConfig(), finetune_steps=10)
+        assert reg.mode == "network"
+        phi = reg.register(fixed, moving)
+        jax.block_until_ready(phi.field)
+        f = np.asarray(phi.field)
+        assert np.isfinite(f).all()
+        # moving = fixed rolled +3 in y, so a moving-grid point maps to
+        # fixed-space y-3: the returned phi (fixed->moving convention,
+        # engine/registration.py:register docstring) must carry ~-3 mm mean
+        # y-displacement over the anatomy
+        mask = shell > 0.5
+        mean_y = f[..., 1][mask].mean()
+        assert abs(mean_y + 3.0) < 0.8, f"expected ~-3 y displacement, got {mean_y:.3f}"
