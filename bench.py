@@ -133,10 +133,41 @@ def build_pipeline():
     return pipe, one_knee
 
 
+def _warmup_probe():
+    """Subprocess mode: build the pipeline, run one knee, print the warmup
+    seconds. With the persistent compilation cache populated by the parent
+    process this measures the CACHED cold start a fresh process pays."""
+    t0 = time.time()
+    _, one_knee = build_pipeline()
+    one_knee()
+    print(json.dumps({"warmup_seconds": round(time.time() - t0, 1)}))
+
+
+def _measure_cached_warmup() -> float:
+    """Measure a fresh process's warmup with the compilation cache populated."""
+    import subprocess
+    import sys
+
+    res = subprocess.run(
+        [sys.executable, __file__, "--warmup-probe"],
+        capture_output=True, text=True, timeout=3000,
+    )
+    for line in reversed(res.stdout.strip().splitlines()):
+        try:
+            return float(json.loads(line)["warmup_seconds"])
+        except (ValueError, KeyError):
+            continue
+    return float("nan")
+
+
 def main():
+    from oai_analysis_2_tpu.utils.compile_cache import cache_entry_count
+
+    cache_entries_start = cache_entry_count()
     t_setup = time.time()
     pipe, one_knee = build_pipeline()
-    # warm-up knee: pays all compilations
+    # warm-up knee: pays all compilations (cache misses on first-ever run,
+    # deserialize-only when the persistent cache is populated)
     one_knee()
     warm = time.time() - t_setup
 
@@ -159,6 +190,15 @@ def main():
     fc_med = float(np.median(np.asarray(fc_inner.point_data)))
     assert 0.2 < fc_med < 10.0, f"implausible FC thickness median {fc_med}"
 
+    # cold-start story (VERDICT r2 #2): report both the this-process warmup
+    # and what a FRESH process pays with the persistent compilation cache
+    # populated. When this run already started warm (cache hit), the probe
+    # is this run's own warmup; otherwise measure once in a subprocess.
+    if cache_entries_start > 0:
+        warm_cached = warm
+    else:
+        warm_cached = _measure_cached_warmup()
+
     knees_per_hour = 3600.0 / dt
     result_json = {
         "metric": "single-knee pipeline (seg+reg+warp+thickness), steady-state",
@@ -168,6 +208,8 @@ def main():
         "seconds_per_knee": round(dt, 2),
         "knee_samples": [round(s, 1) for s in samples],
         "warmup_seconds": round(warm, 1),
+        "warmup_seconds_cached": round(warm_cached, 1),
+        "compile_cache_entries_at_start": cache_entries_start,
         "registration_mode": pipe.registerer.mode,
         "fc_mesh_points": int(fc_inner.n_points),
         "tc_mesh_points": int(tc_inner.n_points),
@@ -185,4 +227,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--warmup-probe" in sys.argv:
+        _warmup_probe()
+    else:
+        main()

@@ -82,8 +82,13 @@ def main():
     )
     from oai_analysis_2_tpu.utils.checkpoint import save_checkpoint
 
-    cfg = GradICONConfig()
+    width = int(os.environ.get("GRADICON_WIDTH", "16"))
+    grid = tuple(
+        int(v) for v in os.environ.get("GRADICON_GRID", "48,96,96").split(",")
+    )
+    cfg = GradICONConfig(grid_shape=grid, stage_width=width)
     shape = cfg.grid_shape
+    print(f"config: grid {shape} width {width}", flush=True)
     model = GradICON(cfg, compute_dtype=jnp.bfloat16)
     params = model.init(jax.random.PRNGKey(0))
     resume = os.environ.get("GRADICON_RESUME")

@@ -7,11 +7,16 @@ recovered field inside the anatomy (mm) plus the image-match improvement.
 This is the no-golden-data substitute for the reference's (smoke-only)
 registration tests (test_all.py:72-99).
 
-Usage:  python examples/validate_registration.py [grid_z grid_y grid_x] [--network [finetune_steps]]
+Usage:  python examples/validate_registration.py [vol_z vol_y vol_x]
+            [--network [finetune_steps]] [--net-grid Z,Y,X]
 
 --network registers with the shipped trained GradICON weights (one forward
 pass + optional per-pair fine-tuning steps) instead of full instance
 optimization — the production "auto" path once weights exist.
+
+--net-grid overrides the registration grid (GradICONConfig.grid_shape) —
+the stages are fully convolutional, so trained weights run at ANY grid
+divisible by max_scale*4; this is the accuracy-vs-grid-size sweep knob.
 """
 
 import sys
@@ -40,9 +45,23 @@ def main():
     )
     from oai_analysis_2_tpu.core.image import physical_grid
 
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    use_network = "--network" in sys.argv
-    finetune = int(args[3]) if use_network and len(args) > 3 else 10
+    # usage: [grid_z grid_y grid_x] [--network [finetune_steps]] — the
+    # finetune count is the argument FOLLOWING --network, independent of
+    # whether grid dims were given
+    argv = sys.argv[1:]
+    use_network = "--network" in argv
+    finetune = 10
+    if use_network:
+        i = argv.index("--network")
+        if i + 1 < len(argv) and argv[i + 1].isdigit():
+            finetune = int(argv.pop(i + 1))
+        argv.remove("--network")
+    net_grid = None
+    if "--net-grid" in argv:
+        i = argv.index("--net-grid")
+        net_grid = tuple(int(v) for v in argv[i + 1].split(","))
+        del argv[i : i + 2]
+    args = [a for a in argv if not a.startswith("--")]
     shape = tuple(int(a) for a in args[:3]) if len(args) >= 3 else (80, 192, 192)
     spacing = (0.36, 0.36, 0.7)
     rng = np.random.default_rng(0)
@@ -74,6 +93,7 @@ def main():
     # moving(x) = fixed(x + gt(x)) — the pullback through the known field
     moving = resample_image(fixed, fixed, displacement=gt_field)
 
+    cfg = GradICONConfig(grid_shape=net_grid) if net_grid else GradICONConfig()
     t0 = time.time()
     if use_network:
         from oai_analysis_2_tpu.models.gradicon import (
@@ -81,14 +101,13 @@ def main():
             load_gradicon_params,
         )
 
-        cfg = GradICONConfig()
         phi_ab, _ = register_pair(
             fixed, moving, model=GradICON(cfg), params=load_gradicon_params(),
             config=cfg, finetune_steps=finetune,
         )
     else:
         phi_ab, _ = register_pair(
-            fixed, moving, config=GradICONConfig(),
+            fixed, moving, config=cfg,
             instance_scales=(4, 2, 1), instance_steps=(80, 60, 40),
         )
     jax.block_until_ready(phi_ab.field)
@@ -106,7 +125,7 @@ def main():
     mask = shell > 0.5
     err = np.linalg.norm(est[mask] - gt[mask], axis=-1)
     mode = f"network+ft{finetune}" if use_network else "instance"
-    print(f"grid {shape}; registration ({mode}) {dt:.1f}s")
+    print(f"vol {shape}; net grid {cfg.grid_shape}; registration ({mode}) {dt:.1f}s")
     print(f"image MSE: before {before:.5f} -> after {after:.5f} ({after / before:.2%})")
     print(f"field error in anatomy (mm, GT amplitude {amp}): "
           f"mean {err.mean():.3f}  median {np.median(err):.3f}  p95 {np.percentile(err, 95):.3f}")

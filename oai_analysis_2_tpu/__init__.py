@@ -20,8 +20,15 @@ host-side geometry bookkeeping uses numpy with an optional C++ fast path.
 """
 
 from oai_analysis_2_tpu.__about__ import __version__
+from oai_analysis_2_tpu.utils.compile_cache import enable_compilation_cache
 
-__all__ = ["__version__", "AnalysisObject"]
+# Persistent XLA compilation cache: the pipeline's cold start is compile-
+# dominated; caching makes every process after the first pay only
+# trace+deserialize. No-op-cheap when jax isn't imported yet (env vars only);
+# opt out with OAI_TPU_NO_COMPILE_CACHE=1.
+enable_compilation_cache()
+
+__all__ = ["__version__", "AnalysisObject", "enable_compilation_cache"]
 
 
 def __getattr__(name):

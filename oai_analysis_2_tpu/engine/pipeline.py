@@ -62,8 +62,20 @@ class KneePipeline:
 
         warp_dtype: "bfloat16" gathers probmap voxels at half HBM bandwidth
         during the warp stage (<~4e-3 absolute error on [0,1] maps — see
-        ops.resample.resample_images); "float32" (default) is exact."""
+        ops.resample.resample_images); "float32" (default) is exact.
+
+        N.B. with the shipped (synthetic-phantom-trained) GradICON weights
+        present, "auto" registration resolves to the network path: ~40x
+        faster than instance optimization but measurably less accurate on
+        the held-out phantom (VALIDATION.md). Pass
+        registration_mode="instance" when accuracy matters more than
+        latency."""
         from oai_analysis_2_tpu.engine.registration import ICON_Registration
+
+        if warp_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"warp_dtype must be 'float32' or 'bfloat16', got {warp_dtype!r}"
+            )
 
         self.segmenter = segmenter
         self.atlas = atlas_image

@@ -72,19 +72,19 @@ def _maps_to_displacement(
     )
 
 
-_BOTH_MAPS_CACHE: dict = {}
-
-
 def _jitted_both_maps(model: GradICON):
     """One jitted program for the network's two forward passes (per model
     instance — eager stage-by-stage dispatch over the TPU tunnel is pure
-    overhead)."""
+    overhead). Cached ON the model instance so the compiled program's
+    lifetime is exactly the model's (a module-level id()-keyed dict pinned
+    every model alive forever — an unbounded leak in many-config processes)."""
     import jax
 
-    key = id(model)
-    if key not in _BOTH_MAPS_CACHE:
-        _BOTH_MAPS_CACHE[key] = jax.jit(model.both_maps)
-    return _BOTH_MAPS_CACHE[key]
+    fn = getattr(model, "_jitted_both_maps", None)
+    if fn is None:
+        fn = jax.jit(model.both_maps)
+        model._jitted_both_maps = fn
+    return fn
 
 
 def register_pair(
@@ -209,6 +209,21 @@ class ICON_Registration:
                 if grid_ok and self._try_load_default(load_gradicon_params, default_gradicon_weights_path)
                 else "instance"
             )
+            if mode == "network":
+                # The shipped weights are synthetic-phantom-trained (no OAI
+                # data exists in this build environment); per VALIDATION.md
+                # the network+finetune path trades some accuracy vs full
+                # instance optimization for ~40x registration speed. Make
+                # the silent default switch visible once per process.
+                import warnings
+
+                warnings.warn(
+                    "registration mode 'auto' resolved to the shipped "
+                    "synthetic-trained GradICON network (fast path; see "
+                    "VALIDATION.md for accuracy vs instance optimization). "
+                    "Pass mode='instance' for per-pair optimization.",
+                    stacklevel=2,
+                )
         self.mode = mode
         if mode == "network":
             if not grid_ok:

@@ -80,12 +80,12 @@ class Segmenter3DInPatchClassWise(Segmenter):
 
     # -- the fused device-side pipeline ------------------------------------------
 
-    def _segment_fn(self, volume_shape: Tuple[int, int, int], batch_size: int, threshold: bool):
-        """Build (and cache) the jitted volume->probmaps function for a shape."""
-        key = (volume_shape, batch_size, threshold)
-        if key in self._jitted:
-            return self._jitted[key]
-
+    def volume_fn(self, volume_shape: Tuple[int, int, int], batch_size: int, threshold: bool):
+        """The PURE (params, volume) -> (C, D, H, W) probmaps function for a
+        static volume shape — partition, scan the UNet over tile batches,
+        sigmoid, assemble. Unjitted so callers can compose it: the single-knee
+        path jits it directly (`_segment_fn`), the multi-chip batch pipeline
+        vmaps it over a knee batch (parallel/batch.py)."""
         partition = self.partition
         model = self.model
         n_classes = model.spec.n_classes
@@ -94,7 +94,6 @@ class Segmenter3DInPatchClassWise(Segmenter):
         n_padded = n_batches * batch_size
         crop = tuple(self.config.get("overlap_size", (16, 16, 8)))
 
-        @jax.jit
         def run(params, volume):
             tiles = partition(volume)  # (N, tz, ty, tx)
             pad = n_padded - n_tiles
@@ -117,8 +116,14 @@ class Segmenter3DInPatchClassWise(Segmenter):
             ]
             return jnp.stack(outs, axis=0)  # (C, D, H, W)
 
-        self._jitted[key] = run
         return run
+
+    def _segment_fn(self, volume_shape: Tuple[int, int, int], batch_size: int, threshold: bool):
+        """Build (and cache) the jitted volume->probmaps function for a shape."""
+        key = (volume_shape, batch_size, threshold)
+        if key not in self._jitted:
+            self._jitted[key] = jax.jit(self.volume_fn(volume_shape, batch_size, threshold))
+        return self._jitted[key]
 
     # -- public API ---------------------------------------------------------------
 
@@ -145,12 +150,33 @@ class Segmenter3DInPatchClassWise(Segmenter):
             return image.with_data(fc), image.with_data(tc)
         return fc, tc
 
-    # training/test entry points live in engine/training.py; the reference's
-    # equivalents are unimplemented stubs (segmenter.py:64-73, 94-98).
+    # training lives in engine/training.py; the reference's equivalents are
+    # unimplemented stubs (segmenter.py:64-73, 94-98).
     def train(self, *args, **kwargs):
         from oai_analysis_2_tpu.engine.training import train_segmentation
 
         return train_segmentation(*args, **kwargs)
 
-    def test(self, *args, **kwargs):
-        raise NotImplementedError
+    def test(self, pairs, threshold: float = 0.5):
+        """Evaluate the loaded model on (image, label) pairs; returns
+        per-volume [FC, TC] Dice scores plus the mean.
+
+        The reference declares this entry point but ships it as a stub
+        (segmenter.py:94-98); here it runs the production `segment` path
+        (same tiling/assembly) against binary label volumes shaped like the
+        class maps: label (C, D, H, W) or a pair/list of per-class volumes.
+        """
+        results = []
+        for image, label in pairs:
+            fc, tc = self.segment(image, if_output_prob_map=True, if_output_itk=False)
+            preds = [np.asarray(fc) > threshold, np.asarray(tc) > threshold]
+            label = np.asarray(label)
+            labels = [label[c] for c in range(label.shape[0])] if label.ndim == 4 else list(label)
+            dices = []
+            for p, l in zip(preds, labels):
+                l = np.asarray(l) > 0.5
+                denom = p.sum() + l.sum()
+                dices.append(float(2.0 * np.logical_and(p, l).sum() / denom) if denom else 1.0)
+            results.append(dices)
+        arr = np.asarray(results, np.float64)
+        return {"per_volume_dice": results, "mean_dice": arr.mean(axis=0).tolist()}

@@ -340,6 +340,10 @@ def register_pair_instance(
     This is the out-of-the-box registration path (the reference requires a
     1.2 GB pretrained download; this path requires nothing) — and it runs
     entirely on TPU under jit.
+
+    Compiled per-scale programs are memoized (`_scale_runner`, up to 64
+    configurations); call `clear_instance_cache()` in long-lived cohort
+    processes with heterogeneous volume shapes to release them.
     """
     if isinstance(steps_per_scale, int):
         steps_per_scale = [steps_per_scale] * len(scales)
@@ -376,8 +380,20 @@ def register_pair_instance(
     return phi_ab, phi_ba
 
 
+def clear_instance_cache() -> None:
+    """Drop all cached per-scale instance-optimization programs.
+
+    `_scale_runner` memoizes one compiled XLA program (plus its captured
+    identity map) per (shape, steps, lr, ...) configuration; a long-lived
+    cohort process registering many distinct volume shapes can accumulate up
+    to 64 resident programs/buffers. Call this between cohort segments to
+    bound device/host memory."""
+    _scale_runner.cache_clear()
+    _scale_run_fn.cache_clear()
+
+
 @functools.lru_cache(maxsize=64)
-def _scale_runner(
+def _scale_run_fn(
     shape_s,
     full_shape,
     n_steps: int,
@@ -386,17 +402,13 @@ def _scale_runner(
     similarity: str,
     lambda_reg: float,
     diffusion_weight: float,
-    verbose: bool,
 ):
-    """One CACHED jitted program for a whole scale of instance optimization:
-    init + n_steps of fused Adam + compose + resize back to full resolution.
-
-    Defining the jitted step inline (round 1) meant a fresh closure — and a
-    full RETRACE — on every `register_pair_instance` call: ~4 s of host-side
-    tracing per registration on this 1-core machine, dwarfing the actual
-    device time of a 20-step fine-tune (<0.3 s). The cache key is the full
-    static configuration, so repeated registrations (the cohort case) reuse
-    the compiled program."""
+    """The PURE per-scale instance-optimization program
+    (base_ab, base_ba, a_s, b_s) -> (phi_ab, phi_ba): init + n_steps of
+    fused Adam + compose + resize back to full resolution. Returned
+    unjitted (plus the single opt step for verbose paths) so the
+    single-pair path can jit it and the multi-chip batch pipeline can
+    vmap it over a knee batch (parallel/batch.py)."""
     import optax
 
     sim_fn = make_similarity(similarity, lncc_window)
@@ -421,7 +433,6 @@ def _scale_runner(
         updates, opt_state = optimizer.update(g, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, l
 
-    @jax.jit
     def run(base_ab, base_ba, a_s, b_s):
         u0 = jnp.zeros(shape_s + (3,), jnp.float32)
         params = {"u_ab": u0, "u_ba": u0}
@@ -437,14 +448,52 @@ def _scale_runner(
         phi_ba = resize_field(compose(base_ba, ident_s + params["u_ba"]), full_shape)
         return phi_ab, phi_ba
 
+    return run, opt_step
+
+
+@functools.lru_cache(maxsize=64)
+def _scale_runner(
+    shape_s,
+    full_shape,
+    n_steps: int,
+    lr: float,
+    lncc_window: int,
+    similarity: str,
+    lambda_reg: float,
+    diffusion_weight: float,
+    verbose: bool,
+):
+    """One CACHED jitted program for a whole scale of instance optimization.
+
+    Defining the jitted step inline (round 1) meant a fresh closure — and a
+    full RETRACE — on every `register_pair_instance` call: ~4 s of host-side
+    tracing per registration on this 1-core machine, dwarfing the actual
+    device time of a 20-step fine-tune (<0.3 s). The cache key is the full
+    static configuration, so repeated registrations (the cohort case) reuse
+    the compiled program."""
+    run, opt_step = _scale_run_fn(
+        shape_s, full_shape, n_steps, lr, lncc_window, similarity,
+        lambda_reg, diffusion_weight,
+    )
+    shape_s = tuple(shape_s)
+
     if not verbose:
-        return run
+        return jax.jit(run)
+
+    # compiled once at builder time — wrapping opt_step inside run_verbose
+    # would re-trace on every registration, the exact cost this cache exists
+    # to eliminate on the non-verbose path
+    verbose_step = jax.jit(opt_step)
+    import optax
+
+    optimizer = optax.adam(lr / float(max(shape_s)))
+    ident_s = identity_map(shape_s)
 
     def run_verbose(base_ab, base_ba, a_s, b_s):
         u0 = jnp.zeros(shape_s + (3,), jnp.float32)
         params = {"u_ab": u0, "u_ba": u0}
         opt_state = optimizer.init(params)
-        step = jax.jit(opt_step)
+        step = verbose_step
         for i in range(n_steps):
             params, opt_state, l = step(params, opt_state, base_ab, base_ba, a_s, b_s)
             if i % 20 == 0:

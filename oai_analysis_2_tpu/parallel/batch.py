@@ -1,0 +1,334 @@
+"""Knee-batched multi-chip inference — the production scale-out path.
+
+The reference fans a cohort across GPU workers by shipping pickled tasks
+through Dask's TCP scheduler (dask_processing.py:126-189,
+DaskComputationCoiled.ipynb cells 2-3: 6 cloud GPU workers). The TPU-native
+equivalent is ONE jitted SPMD program over a `jax.sharding.Mesh`: a batch of
+B knees is sharded over the mesh's data axis, and every per-knee stage —
+percentile windowing, overlap-tiled UNet segmentation, GradICON registration
+against the shared atlas (network forward + per-pair fine-tuning, or full
+instance optimization), and the probability-map warp onto the atlas grid —
+runs batched under one `vmap`, so XLA partitions the whole pipeline across
+chips with no host round-trips in between.
+
+Geometry requirement: all knees in a batch share volume shape and physical
+metadata (true for OAI DESS cohorts — one scan protocol); the atlas is
+shared. Thickness extraction stays per-knee on the host side of the fence
+(meshes are data-dependent), fed from the batched device outputs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from oai_analysis_2_tpu.core.image import Image, physical_grid
+from oai_analysis_2_tpu.engine.pipeline import KneeResult
+from oai_analysis_2_tpu.engine.registration import (
+    ICON_Registration,
+    _net_grid_reference,
+    _normalized_to_physical,
+)
+from oai_analysis_2_tpu.engine.segmenter import Segmenter3DInPatchClassWise
+from oai_analysis_2_tpu.models.gradicon import (
+    GradICONConfig,
+    _scale_run_fn,
+    downsample2x,
+    identity_map,
+    resize_field,
+)
+from oai_analysis_2_tpu.ops.resample import (
+    DisplacementField,
+    _separable_resize_weights,
+    _trilinear_gather,
+    _upsample_field_separable,
+    sample_displacement,
+)
+from oai_analysis_2_tpu.utils.profiling import StageTimer
+
+
+def _pyramid(vol: jax.Array, scale: int) -> jax.Array:
+    out = vol
+    for _ in range(int.bit_length(int(scale)) - 1):
+        out = downsample2x(out)
+    return out
+
+
+class BatchKneePipeline:
+    """segment + register + warp for B knees in one sharded program, plus
+    per-knee thickness meshes on the host side.
+
+    `mesh` is a `jax.sharding.Mesh` (any axis layout; devices are flattened
+    onto one `data` axis). With mesh=None the program runs unsharded on the
+    default device — the measured single-chip baseline of the same graph.
+    """
+
+    def __init__(
+        self,
+        segmenter: Segmenter3DInPatchClassWise,
+        atlas_image: Image,
+        mesh: Optional[Mesh] = None,
+        registration_config: Optional[GradICONConfig] = None,
+        registration_mode: str = "auto",
+        instance_scales: Tuple[int, ...] = (4, 2, 1),
+        instance_steps=(80, 60, 40),
+        finetune_steps: int = 0,
+        finetune_scales: Tuple[int, ...] = (2,),
+        finetune_lr: float = 0.15,
+        lambda_reg: float = 0.5,
+        diffusion_weight: float = 0.3,
+        normalize: bool = True,
+        warp_dtype: str = "float32",
+    ):
+        if warp_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"warp_dtype must be 'float32' or 'bfloat16', got {warp_dtype!r}"
+            )
+        self.segmenter = segmenter
+        self.atlas = atlas_image
+        self.mesh = mesh
+        self.reg_config = registration_config or GradICONConfig()
+        self.instance_scales = tuple(instance_scales)
+        self.instance_steps = instance_steps
+        self.finetune_steps = finetune_steps
+        self.finetune_scales = tuple(finetune_scales)
+        self.finetune_lr = finetune_lr
+        self.lambda_reg = lambda_reg
+        self.diffusion_weight = diffusion_weight
+        self.normalize = normalize
+        self.warp_dtype = warp_dtype
+        # mode resolution + weight loading exactly like the single pipeline
+        self.registerer = ICON_Registration(
+            mode=registration_mode,
+            config=self.reg_config,
+            instance_steps=instance_steps,
+            instance_scales=instance_scales,
+            finetune_steps=finetune_steps,
+            finetune_scales=finetune_scales,
+            finetune_lr=finetune_lr,
+        )
+        self._programs: dict = {}
+
+    # -- program construction ---------------------------------------------------
+
+    @property
+    def n_devices(self) -> int:
+        return int(self.mesh.devices.size) if self.mesh is not None else 1
+
+    def _meta_key(self, image: Image) -> tuple:
+        return (
+            tuple(image.data.shape),
+            np.asarray(image.origin).tobytes(),
+            np.asarray(image.spacing).tobytes(),
+            np.asarray(image.direction).tobytes(),
+        )
+
+    def _register_one_fn(self):
+        """The pure per-knee registration program: (reg_params, a, b) ->
+        (phi_ab, phi_ba) normalized coordinate maps on the net grid."""
+        cfg = self.reg_config
+        full_shape = tuple(cfg.grid_shape)
+        mode = self.registerer.mode
+        model = self.registerer.model
+
+        if mode == "network":
+            scales = self.finetune_scales if self.finetune_steps else ()
+            steps = [self.finetune_steps] * len(scales)
+            lr = self.finetune_lr
+        else:
+            scales = self.instance_scales
+            steps = (
+                [self.instance_steps] * len(scales)
+                if isinstance(self.instance_steps, int)
+                else list(self.instance_steps)
+            )
+            lr = 1.2  # voxels/step — register_pair_instance's default
+
+        def register_one(reg_params, a, b):
+            if mode == "network":
+                phi_ab, phi_ba = model.both_maps(reg_params, a, b)
+            else:
+                phi_ab = phi_ba = identity_map(full_shape)
+            for scale, n_steps in zip(scales, steps):
+                a_s, b_s = _pyramid(a, scale), _pyramid(b, scale)
+                run, _ = _scale_run_fn(
+                    tuple(a_s.shape),
+                    full_shape,
+                    int(n_steps),
+                    float(lr),
+                    int(cfg.lncc_window),
+                    "lncc+mse",
+                    float(self.lambda_reg),
+                    float(self.diffusion_weight),
+                )
+                base_ab = resize_field(phi_ab, a_s.shape)
+                base_ba = resize_field(phi_ba, a_s.shape)
+                phi_ab, phi_ba = run(base_ab, base_ba, a_s, b_s)
+            return phi_ab, phi_ba
+
+        return register_one
+
+    def _batched_fn(self, template: Image):
+        """Build (and cache) the jitted sharded B-knee program for the
+        template's shape+geometry."""
+        key = self._meta_key(template)
+        if key in self._programs:
+            return self._programs[key]
+
+        seg = self.segmenter
+        if not seg.ready:
+            seg.pred_setup()
+        cfg = self.reg_config
+        vol_shape = tuple(template.data.shape)
+        seg_fn = seg.volume_fn(
+            vol_shape, int(seg.config.get("batch_size", 4)), threshold=False
+        )
+        n_classes = seg.model.spec.n_classes
+
+        # shared geometry, computed once on host at build time ------------------
+        grid_a = _net_grid_reference(template, cfg.grid_shape)
+        grid_b = _net_grid_reference(self.atlas, cfg.grid_shape)
+
+        def grid_to_idx(grid: Image, img: Image) -> jax.Array:
+            pts = physical_grid(grid.data.shape, grid.origin, grid.spacing, grid.direction)
+            return jnp.asarray(np.asarray(img.physical_to_indices(pts))[..., ::-1])
+
+        idx_a = grid_to_idx(grid_a, template)  # net-grid voxel -> knee zyx index
+        idx_b = grid_to_idx(grid_b, self.atlas)
+        p_b = jnp.asarray(
+            np.asarray(_normalized_to_physical(grid_b, identity_map(cfg.grid_shape)))
+        )
+        # separable MXU upsample of the displacement field when the atlas and
+        # field grids are axis-aligned (every real OAI case)
+        dummy = DisplacementField(
+            field=jnp.zeros(tuple(cfg.grid_shape) + (3,), jnp.float32),
+            origin=grid_b.origin,
+            spacing=grid_b.spacing,
+            direction=grid_b.direction,
+        )
+        sep_weights = _separable_resize_weights(dummy, self.atlas)
+
+        register_one = self._register_one_fn()
+        atlas_shape = tuple(self.atlas.data.shape)
+        normalize = self.normalize
+        wdt = jnp.bfloat16 if self.warp_dtype == "bfloat16" else jnp.float32
+
+        def batched(seg_params, reg_params, knees):
+            # atlas-side work happens ONCE, outside the vmap
+            atlas_f32 = self.atlas.data.astype(jnp.float32)
+            b = _trilinear_gather(atlas_f32, idx_b, 0.0)
+            pts_atlas = physical_grid(
+                atlas_shape, self.atlas.origin, self.atlas.spacing, self.atlas.direction
+            )
+
+            def per_knee(knee):
+                if normalize:
+                    lo = jnp.percentile(knee, 0.1)
+                    hi = jnp.percentile(knee, 99.9)
+                    pre = jnp.clip((knee - lo) / jnp.maximum(hi - lo, 1e-20), 0.0, 1.0)
+                else:
+                    pre = knee
+                maps = seg_fn(seg_params, pre)  # (C, D, H, W)
+
+                a = _trilinear_gather(pre, idx_a, 0.0)
+                _, phi_ba = register_one(reg_params, a, b)
+                disp = (_normalized_to_physical(grid_a, phi_ba) - p_b).astype(
+                    jnp.float32
+                )  # physical displacement on grid_b
+
+                if sep_weights is not None:
+                    up = _upsample_field_separable(disp, *sep_weights)
+                else:
+                    up = sample_displacement(
+                        dataclasses.replace(dummy, field=disp), pts_atlas
+                    )
+                pts = pts_atlas + up
+                idx_knee = template.physical_to_indices(pts)[..., ::-1]
+                stacked = jnp.moveaxis(maps, 0, -1).astype(wdt)  # (D,H,W,C)
+                warped = _trilinear_gather(stacked, idx_knee, 0.0).astype(jnp.float32)
+                return warped, disp
+
+            return jax.vmap(per_knee)(knees)
+
+        if self.mesh is not None:
+            flat = Mesh(self.mesh.devices.reshape(-1), ("data",))
+            rep = NamedSharding(flat, P())
+            data = NamedSharding(flat, P("data"))
+            jitted = jax.jit(
+                batched, in_shardings=(rep, rep, data), out_shardings=data
+            )
+            program = (jitted, flat)
+        else:
+            program = (jax.jit(batched), None)
+        self._programs[key] = program
+        return program
+
+    # -- execution ---------------------------------------------------------------
+
+    def run_device_batch(self, images: Sequence[Image]):
+        """The device part only: (B knees) -> (warped (B,Da,Ha,Wa,C) numpy,
+        disp (B,gz,gy,gx,3) numpy). Pads the batch to a multiple of the mesh
+        size; padding knees are dropped from the output."""
+        if not images:
+            return np.zeros((0,)), np.zeros((0,))
+        metas = {self._meta_key(im) for im in images}
+        if len(metas) != 1:
+            raise ValueError(
+                "all knees in a batch must share volume shape and physical "
+                f"metadata; got {len(metas)} distinct geometries"
+            )
+        template = images[0]
+        jitted, flat = self._batched_fn(template)
+        n_dev = self.n_devices
+        n = len(images)
+        pad = (-n) % n_dev
+        knees = np.stack(
+            [np.asarray(im.data, np.float32) for im in images]
+            + [np.zeros(template.data.shape, np.float32)] * pad
+        )
+        knees = jnp.asarray(knees)
+        if flat is not None:
+            knees = jax.device_put(knees, NamedSharding(flat, P("data")))
+        seg_params = self.segmenter.params
+        reg_params = self.registerer.params if self.registerer.mode == "network" else ()
+        warped, disp = jitted(seg_params, reg_params, knees)
+        jax.block_until_ready(warped)
+        return np.asarray(warped)[:n], np.asarray(disp)[:n]
+
+    def run_batch(self, images: Sequence[Image], compute_thickness: bool = True
+                  ) -> List[KneeResult]:
+        """Full batch: device pipeline + per-knee thickness meshes."""
+        from oai_analysis_2_tpu.mesh.processing import get_thickness_meshes
+
+        timer = StageTimer()
+        with timer.stage("device_batch"):
+            warped, _ = self.run_device_batch(images)
+        results = []
+        for i in range(len(images)):
+            fc = Image(
+                data=jnp.asarray(warped[i, ..., 0]),
+                origin=self.atlas.origin,
+                spacing=self.atlas.spacing,
+                direction=self.atlas.direction,
+            )
+            tc = fc.with_data(jnp.asarray(warped[i, ..., 1]))
+            if compute_thickness:
+                with timer.stage(f"thickness_{i}"):
+                    (fci, fco), (tci, tco) = get_thickness_meshes(
+                        [fc, tc], ["FC", "TC"]
+                    )
+            else:
+                fci = fco = tci = tco = None
+            results.append(
+                KneeResult(
+                    fc_probmap=fc, tc_probmap=tc,
+                    fc_inner=fci, fc_outer=fco, tc_inner=tci, tc_outer=tco,
+                    timings=timer.report(),
+                )
+            )
+        return results

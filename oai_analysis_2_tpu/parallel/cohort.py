@@ -15,11 +15,17 @@ fault-tolerant work queue:
     (the round-1 read-modify-rewrite JSON design lost cross-host updates);
   * items are processed by a user pipeline callable; failures are caught,
     recorded, and do not kill the run;
-  * multi-host fan-out: each host claims items by index stride
-    (host_id, n_hosts from jax.distributed when initialized — cohort items
-    ride DCN only as file paths, results stay host-local);
+  * multi-host fan-out with DYNAMIC claim-based scheduling (default): hosts
+    claim items by appending claim records to their own shard, so a fast
+    host drains the queue while a slow or dead host strands nothing — the
+    load-balancing Dask's distributed scheduler provides the reference
+    (dask_processing.py:1-7). Stale claims (host died mid-item) are stolen
+    after `claim_ttl`. Static index striding remains available
+    (scheduling="static");
   * per-stage wall times are recorded per item (the reference's only timing
-    was a notebook %%time, SURVEY.md §5).
+    was a notebook %%time, SURVEY.md §5), and the runner surfaces live
+    progress + ETA and writes a machine-readable run summary
+    (`<manifest>.summary.json`) — the stand-in for Dask's dashboard.
 """
 
 from __future__ import annotations
@@ -126,9 +132,22 @@ class CohortRunner:
         verbose: bool = True,
         host: Optional[int] = None,
         n_hosts: Optional[int] = None,
+        scheduling: str = "dynamic",
+        claim_ttl: float = 1800.0,
+        poll_seconds: float = 2.0,
     ):
         """host / n_hosts override jax.distributed's process index/count —
-        for external schedulers (SLURM array jobs) and tests."""
+        for external schedulers (SLURM array jobs) and tests.
+
+        scheduling: "dynamic" (default) — hosts claim items first-come
+        through the shard manifests, so slow/dead hosts strand no work;
+        "static" — fixed index striding (deterministic assignment).
+
+        claim_ttl: seconds after which another host may steal an unfinished
+        claim. MUST exceed the worst-case per-item wall time, else a slow
+        item gets double-processed (at-least-once semantics, like Dask's
+        worker-loss retry).
+        """
         auto_host, auto_n = _host_info()
         self.host = auto_host if host is None else host
         self.n_hosts = auto_n if n_hosts is None else n_hosts
@@ -136,42 +155,184 @@ class CohortRunner:
         self.manifest = CohortManifest.open(manifest_path, host=self.host)
         self.max_retries = max_retries
         self.verbose = verbose
+        if scheduling not in ("dynamic", "static"):
+            raise ValueError(f"scheduling must be 'dynamic' or 'static', got {scheduling!r}")
+        self.scheduling = scheduling
+        self.claim_ttl = claim_ttl
+        self.poll_seconds = poll_seconds
 
-    def run(self, items: Sequence[Any], keys: Optional[Sequence[str]] = None) -> dict:
-        keys = list(keys) if keys is not None else [str(i) for i in items]
-        host, n_hosts = self.host, self.n_hosts
+    # -- item state helpers -------------------------------------------------------
+
+    def _is_finished(self, rec: Optional[dict]) -> bool:
+        return bool(rec) and (
+            rec["status"] == "done"
+            or (rec["status"] == "failed" and rec.get("attempts", 0) > self.max_retries)
+        )
+
+    def _is_fresh_claim(self, rec: Optional[dict]) -> bool:
+        return (
+            bool(rec)
+            and rec["status"] == "claim"
+            and (time.time() - rec.get("time", 0)) < self.claim_ttl
+        )
+
+    def _progress_line(self, keys: Sequence[str]) -> str:
+        recs = [self.manifest.items.get(k) for k in keys]
+        done = sum(1 for r in recs if r and r["status"] == "done")
+        failed = sum(1 for r in recs if r and r["status"] == "failed")
+        secs = [r.get("seconds", 0.0) for r in recs if r and r["status"] == "done"]
+        eta = ""
+        if secs and done < len(keys):
+            per_item = sum(secs) / len(secs)
+            remaining = len(keys) - done - failed
+            eta = f", ETA ~{per_item * remaining / max(self.n_hosts, 1):.0f}s"
+        return f"[cohort] {done}/{len(keys)} done, {failed} failed{eta}"
+
+    def _run_item(self, key: str, item: Any) -> None:
+        attempts = self.manifest.items.get(key, {}).get("attempts", 0)
+        t0 = time.time()
+        try:
+            result = self.pipeline(item)
+            self.manifest.mark(
+                key, "done", seconds=time.time() - t0, attempts=attempts + 1,
+                result=result,
+            )
+            if self.verbose:
+                print(f"[cohort] done: {key} ({time.time() - t0:.1f}s)")
+        except Exception as e:  # noqa: BLE001 — isolate item failures
+            status = "failed" if attempts + 1 > self.max_retries else "retry"
+            self.manifest.mark(
+                key, status, seconds=time.time() - t0, attempts=attempts + 1,
+                error=f"{type(e).__name__}: {e}",
+                trace=traceback.format_exc(limit=8),
+            )
+            if self.verbose:
+                print(f"[cohort] {status}: {key}: {e}")
+
+    def _write_summary(self, keys: Sequence[str], wall_seconds: float) -> dict:
+        """Machine-readable run summary next to the manifest — the cohort
+        observability surface the reference gets from Dask's dashboard."""
+        summary = self.manifest.summary()
+        secs = [
+            r.get("seconds", 0.0)
+            for k in keys
+            if (r := self.manifest.items.get(k)) and r["status"] == "done"
+        ]
+        out = {
+            "counts": summary,
+            "n_items": len(keys),
+            "wall_seconds": round(wall_seconds, 2),
+            "mean_item_seconds": round(sum(secs) / len(secs), 2) if secs else None,
+            "items_per_hour": round(3600.0 * len(secs) / wall_seconds, 2)
+            if wall_seconds > 0 and secs
+            else None,
+            "host": self.host,
+            "n_hosts": self.n_hosts,
+            "scheduling": self.scheduling,
+        }
+        path = self.manifest.path.parent / (self.manifest.path.name + ".summary.json")
+        try:
+            path.write_text(json.dumps(out, indent=1))
+        except OSError:
+            pass
+        return summary
+
+    # -- scheduling loops ---------------------------------------------------------
+
+    def _run_static(self, keys, items) -> None:
         for idx, (key, item) in enumerate(zip(keys, items)):
-            if idx % n_hosts != host:
+            if idx % self.n_hosts != self.host:
                 continue
             if self.manifest.is_done(key):
                 if self.verbose:
                     print(f"[cohort] skip (done): {key}")
                 continue
-            attempts = self.manifest.items.get(key, {}).get("attempts", 0)
-            t0 = time.time()
+            self._run_item(key, item)
+
+    def _run_dynamic(self, keys, items) -> None:
+        """Claim-based work queue over the shard manifests.
+
+        Claim protocol: append a claim record, re-read all shards, and
+        proceed only when our claim is the winner (earliest fresh claim,
+        ties broken by host id). A dead host's claim goes stale after
+        `claim_ttl` and the item is stolen. This is filesystem-visibility
+        best-effort: like Dask's retry-on-worker-loss, execution is
+        at-least-once, and `claim_ttl` must exceed the slowest item.
+        """
+        by_key = dict(zip(keys, items))
+        while True:
+            self.manifest.reload()
+            progress = False
+            waiting = False
+            for key in keys:
+                rec = self.manifest.items.get(key)
+                if self._is_finished(rec):
+                    continue
+                if self._is_fresh_claim(rec) and rec.get("claim_host") != self.host:
+                    waiting = True
+                    continue
+                # stake a claim, then check we won it
+                self.manifest.mark(
+                    key, "claim", claim_host=self.host,
+                    attempts=self.manifest.items.get(key, {}).get("attempts", 0),
+                )
+                claim_t = self.manifest.items[key]["time"]
+                self.manifest.reload()
+                contenders = []
+                rec2 = self.manifest.items.get(key)
+                if rec2 is not None and self._is_finished(rec2):
+                    continue  # someone finished it in the window
+                # collect every fresh claim visible across shards for key
+                for shard_rec in self._all_claims(key):
+                    if (time.time() - shard_rec.get("time", 0)) < self.claim_ttl:
+                        contenders.append(
+                            (shard_rec.get("time", 0), shard_rec.get("claim_host", -1))
+                        )
+                if contenders and min(contenders) != (claim_t, self.host):
+                    waiting = True
+                    continue
+                self._run_item(key, by_key[key])
+                progress = True
+                if self.verbose:
+                    print(self._progress_line(keys))
+            self.manifest.reload()
+            if all(self._is_finished(self.manifest.items.get(k)) for k in keys):
+                return
+            if not progress:
+                if not waiting:
+                    # remaining items are unclaimable (e.g. exhausted retries
+                    # recorded as non-final by an older writer) — avoid spin
+                    return
+                time.sleep(self.poll_seconds)
+
+    def _all_claims(self, key: str) -> List[dict]:
+        """Every claim record for `key` across all shards (not just the
+        newest merged record) — needed to detect simultaneous claimants."""
+        claims = []
+        for shard in self.manifest._shard_paths():
             try:
-                result = self.pipeline(item)
-                self.manifest.mark(
-                    key,
-                    "done",
-                    seconds=time.time() - t0,
-                    attempts=attempts + 1,
-                    result=result,
-                )
-                if self.verbose:
-                    print(f"[cohort] done: {key} ({time.time() - t0:.1f}s)")
-            except Exception as e:  # noqa: BLE001 — isolate item failures
-                status = "failed" if attempts + 1 > self.max_retries else "retry"
-                self.manifest.mark(
-                    key,
-                    status,
-                    seconds=time.time() - t0,
-                    attempts=attempts + 1,
-                    error=f"{type(e).__name__}: {e}",
-                    trace=traceback.format_exc(limit=8),
-                )
-                if self.verbose:
-                    print(f"[cohort] {status}: {key}: {e}")
+                with open(shard) as f:
+                    for line in f:
+                        line = line.strip()
+                        if not line:
+                            continue
+                        rec = json.loads(line)
+                        if rec.get("key") == key and rec.get("status") == "claim":
+                            claims.append(rec)
+            except OSError:
+                continue
+        return claims
+
+    def run(self, items: Sequence[Any], keys: Optional[Sequence[str]] = None) -> dict:
+        keys = list(keys) if keys is not None else [str(i) for i in items]
+        t0 = time.time()
+        if self.scheduling == "static":
+            self._run_static(keys, items)
+        else:
+            self._run_dynamic(keys, items)
         # pick up every host's records before summarizing
         self.manifest.reload()
-        return self.manifest.summary()
+        summary = self._write_summary(keys, time.time() - t0)
+        if self.verbose:
+            print(self._progress_line(keys))
+        return summary

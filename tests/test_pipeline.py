@@ -205,6 +205,87 @@ class TestCohortRunner:
         assert summary2["done"] == 2
 
 
+class TestDynamicCohort:
+    def test_dead_worker_claim_stolen(self, tmp_path):
+        """A worker that died mid-item (stale claim) must not strand its
+        share: the survivor steals the item after claim_ttl and completes
+        the cohort without double-processing finished work."""
+        from oai_analysis_2_tpu.parallel.cohort import CohortRunner
+
+        manifest = tmp_path / "m.json"
+        # host 0 completed "a", then died while holding a claim on "b"
+        r0 = CohortRunner(
+            lambda it: {"ok": it}, manifest_path=manifest,
+            host=0, n_hosts=2, verbose=False,
+        )
+        r0._run_item("a", "a")
+        r0.manifest.mark("b", "claim", claim_host=0, attempts=0)
+
+        processed = []
+
+        def pipe(item):
+            processed.append(item)
+            return {"ok": item}
+
+        r1 = CohortRunner(
+            pipe, manifest_path=manifest, host=1, n_hosts=2, verbose=False,
+            claim_ttl=0.3, poll_seconds=0.05,
+        )
+        summary = r1.run(["a", "b", "c"])
+        assert summary.get("done") == 3
+        assert sorted(processed) == ["b", "c"]  # "a" never re-run, "b" stolen once
+
+    def test_dynamic_single_host_drains_everything(self, tmp_path):
+        from oai_analysis_2_tpu.parallel.cohort import CohortRunner
+
+        calls = []
+        runner = CohortRunner(
+            lambda it: calls.append(it) or {"ok": it},
+            manifest_path=tmp_path / "m.json", verbose=False,
+        )
+        summary = runner.run(["x", "y", "z"])
+        assert summary == {"done": 3}
+        assert calls == ["x", "y", "z"]
+        # machine-readable run summary written next to the manifest
+        s = json.loads((tmp_path / "m.json.summary.json").read_text())
+        assert s["counts"] == {"done": 3}
+        assert s["n_items"] == 3 and s["scheduling"] == "dynamic"
+
+    def test_fresh_claim_not_stolen(self, tmp_path):
+        """An item freshly claimed by a live host is left alone until ttl."""
+        from oai_analysis_2_tpu.parallel.cohort import CohortRunner
+
+        manifest = tmp_path / "m.json"
+        r0 = CohortRunner(
+            lambda it: {"ok": it}, manifest_path=manifest,
+            host=0, n_hosts=2, verbose=False,
+        )
+        r0.manifest.mark("slow", "claim", claim_host=0, attempts=0)
+        r0._run_item("other", "other")
+
+        seen = []
+        r1 = CohortRunner(
+            lambda it: seen.append(it) or {"ok": it},
+            manifest_path=manifest, host=1, n_hosts=2, verbose=False,
+            claim_ttl=60.0, poll_seconds=0.01,
+        )
+        # "slow" is claimed-fresh; r1 must finish "mine", then wait — emulate
+        # host 0 completing "slow" from another thread
+        import threading
+        import time
+
+        def finish_slow():
+            time.sleep(0.2)
+            r0._run_item("slow", "slow")
+
+        t = threading.Thread(target=finish_slow)
+        t.start()
+        summary = r1.run(["slow", "other", "mine"])
+        t.join()
+        assert summary.get("done") == 3
+        assert seen == ["mine"]
+
+
 class TestSampler:
     def test_balanced_patch_sampler(self):
         from oai_analysis_2_tpu.engine.sampling import BalancedPatchSampler
