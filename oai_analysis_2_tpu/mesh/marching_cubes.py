@@ -128,8 +128,7 @@ def _device_fns():
             c = c + (inside[ox : nx - 1 + ox, oy : ny - 1 + oy, oz : nz - 1 + oz] << ci)
         return c
 
-    @jax.jit
-    def count(vol, level):
+    def _count_one(vol, level):
         inside = (vol > level).astype(jnp.uint8)
         n_vx = jnp.sum(inside[:-1, :, :] != inside[1:, :, :])
         n_vy = jnp.sum(inside[:, :-1, :] != inside[:, 1:, :])
@@ -137,9 +136,26 @@ def _device_fns():
         codes = _codes(inside)
         active = (codes > 0) & (codes < 255)
         n_tris = jnp.sum(tri_count_lut[codes.astype(jnp.int32)])
-        # ONE packed array -> one host sync (three scalars cost three tunnel
-        # round-trips at ~0.1-0.2 s each)
-        return jnp.stack([n_vx + n_vy + n_vz, jnp.sum(active), n_tris])
+        # active-cube bounding box (inclusive cube-index ranges) so the
+        # heavy extract pass can run on a slice instead of the full volume
+        bbox = []
+        for axis in range(3):
+            other = tuple(a for a in range(3) if a != axis)
+            line = jnp.any(active, axis=other)
+            lo = jnp.argmax(line)
+            hi = line.shape[0] - 1 - jnp.argmax(line[::-1])
+            bbox += [lo, hi]
+        # ONE packed array -> one host sync (separate scalars cost a tunnel
+        # round-trip at ~0.1-0.2 s each)
+        return jnp.stack([n_vx + n_vy + n_vz, jnp.sum(active), n_tris, *bbox])
+
+    count = jax.jit(_count_one)
+
+    @jax.jit
+    def count_many(vols, level):
+        """Batched counts for several same-shape volumes — one host sync for
+        the whole tissue set (get_thickness_meshes extracts FC+TC together)."""
+        return jax.vmap(lambda v: _count_one(v, level))(vols)
 
     @functools.partial(jax.jit, static_argnames=("vb", "mb", "tb"))
     def extract(vol, level, spacing, vb: int, mb: int, tb: int):
@@ -206,27 +222,85 @@ def _device_fns():
         faces = rank_all[egid] * jnp.where(tvalid, 1, 0)[:, None]  # (tb, 3)
         return verts, faces, tvalid
 
-    return count, extract
+    @functools.partial(jax.jit, static_argnames=("sx", "sy", "sz"))
+    def slice_vol(vol, ax, ay, az, sx: int, sy: int, sz: int):
+        return jax.lax.dynamic_slice(vol, (ax, ay, az), (sx, sy, sz))
+
+    return count, count_many, extract, slice_vol
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def _extract_with_counts(vol, level: float, spacing, counts: np.ndarray) -> Mesh:
+    """Run the extract pass for one volume given its packed count/bbox row.
+
+    The heavy compaction (nonzero + full cumsum ranks) runs on a SLICE
+    covering the active bounding box (padded to multiples of 64 lattice
+    points so slice shapes bucket into few compiled programs) — cartilage
+    occupies a fraction of the scan, so this cuts the extract pass's data
+    movement several-fold. The slice is real volume data (never synthetic
+    padding), so it contains exactly the full volume's crossings."""
+    import jax.numpy as jnp
+
+    from oai_analysis_2_tpu.ops.bucketing import bucket_size
+
+    _, _, extract, slice_vol = _device_fns()
+    n_verts, n_active, n_tris = (int(x) for x in counts[:3])
+    if n_tris == 0:
+        return Mesh(np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32))
+    lo = [int(counts[3]), int(counts[5]), int(counts[7])]
+    hi = [int(counts[4]), int(counts[6]), int(counts[8])]
+    anchors, sizes = [], []
+    for axis, n in enumerate(vol.shape):
+        need = hi[axis] - lo[axis] + 2  # lattice points spanning active cubes
+        size = min(_round_up(need, 64), n)
+        anchors.append(max(0, min(lo[axis], n - size)))
+        sizes.append(size)
+    sub = slice_vol(vol, *anchors, *sizes)
+
+    vb = bucket_size(max(n_verts, 256))
+    mb = bucket_size(max(n_active, 256))
+    tb = bucket_size(max(n_tris, 256))
+    sp = jnp.asarray(np.asarray(spacing, np.float32))
+    verts, faces, _ = extract(sub, jnp.float32(level), sp, vb, mb, tb)
+    verts_np = np.asarray(verts[:n_verts]) + (
+        np.asarray(anchors, np.float32) * np.asarray(spacing, np.float32)
+    )
+    return Mesh(verts_np, np.asarray(faces[:n_tris], np.int32))
 
 
 def _marching_cubes_device(vol, level: float, spacing) -> Mesh:
     import jax.numpy as jnp
 
-    from oai_analysis_2_tpu.ops.bucketing import bucket_size
+    count, _, _, _ = _device_fns()
+    counts = np.asarray(count(vol, jnp.float32(level)))
+    return _extract_with_counts(vol, level, spacing, counts)
 
-    count, extract = _device_fns()
-    n_verts, n_active, n_tris = (int(x) for x in np.asarray(count(vol, jnp.float32(level))))
-    if n_tris == 0:
-        return Mesh(np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32))
-    vb = bucket_size(max(n_verts, 256))
-    mb = bucket_size(max(n_active, 256))
-    tb = bucket_size(max(n_tris, 256))
-    sp = jnp.asarray(np.asarray(spacing, np.float32))
-    verts, faces, tvalid = extract(vol, jnp.float32(level), sp, vb, mb, tb)
-    return Mesh(
-        np.asarray(verts[:n_verts]),
-        np.asarray(faces[:n_tris], np.int32),
+
+def marching_cubes_multi(volumes, level: float = 0.5, spacing=(1.0, 1.0, 1.0)):
+    """Extract iso-surfaces of several same-shape [x,y,z] device volumes with
+    ONE count pass + host sync for the whole set (the per-tissue sync costs a
+    tunnel round trip each; get_thickness_meshes runs FC+TC together)."""
+    import jax
+    import jax.numpy as jnp
+
+    volumes = list(volumes)
+    if not volumes:
+        return []
+    on_device = all(
+        isinstance(v, jax.Array) and not isinstance(v, np.ndarray) for v in volumes
     )
+    if not on_device or min(volumes[0].shape) < 2:
+        return [marching_cubes(v, level, spacing) for v in volumes]
+    _, count_many, _, _ = _device_fns()
+    stacked = jnp.stack([v.astype("float32") for v in volumes])
+    counts = np.asarray(count_many(stacked, jnp.float32(level)))
+    return [
+        _extract_with_counts(v.astype("float32"), level, spacing, counts[i])
+        for i, v in enumerate(volumes)
+    ]
 
 
 def marching_cubes(

@@ -148,14 +148,21 @@ def get_thickness_meshes(
     are extracted per map but Laplacian-smoothed as ONE disjoint union (the
     sequential 150-iteration loop is the latency floor of the thickness
     stage — paying it once halves it). Returns [(inner, outer), ...]."""
+    from oai_analysis_2_tpu.mesh.marching_cubes import marching_cubes_multi
     from oai_analysis_2_tpu.mesh.ops import smooth_meshes
 
-    raws = []
-    for image in images:
-        vol_xyz = _as_xyz(image)
-        spacing = tuple(float(s) for s in np.asarray(image.spacing))
-        raw = _extract(vol_xyz, level, spacing, method)
-        raws.append(filter_small_components(raw, filter_threshold))
+    vols = [_as_xyz(image) for image in images]
+    spacings = [tuple(float(s) for s in np.asarray(im.spacing)) for im in images]
+    if method == "mc" and len(set(v.shape for v in vols)) == 1 and len(
+        set(spacings)
+    ) == 1:
+        # one count pass + ONE host sync for the whole tissue set
+        extracted = marching_cubes_multi(vols, level=level, spacing=spacings[0])
+    else:
+        extracted = [
+            _extract(v, level, sp, method) for v, sp in zip(vols, spacings)
+        ]
+    raws = [filter_small_components(r, filter_threshold) for r in extracted]
     smoothed = smooth_meshes(raws, num_iterations=num_iterations)
     out = []
     for mesh, mesh_type in zip(smoothed, mesh_types):

@@ -362,13 +362,19 @@ class UNet3D:
 
         prec = self.precision
         skips = []
+        # cast back to compute_dtype after EVERY block: _block outputs f32
+        # (bias/BN/ReLU numerics), and a conv whose input arrives f32 runs a
+        # full-f32 MXU pass — leaving the cast to the end of the level made
+        # every second encoder conv (the expensive full-resolution ones)
+        # silently compute in f32 (~2-4x the bf16 pass)
         for li in range(len(spec.enc)):
             x = _block(x, params[f"enc{li}a"], spec, train=train, stats_out=stats_out, name=f"enc{li}a", precision=prec)
+            x = x.astype(self.compute_dtype)
             x = _block(x, params[f"enc{li}b"], spec, train=train, stats_out=stats_out, name=f"enc{li}b", precision=prec)
+            x = x.astype(self.compute_dtype)
             if li < len(spec.enc) - 1:
                 skips.append(x)
                 x = maxpool2x(x)
-            x = x.astype(self.compute_dtype)
 
         for li in range(len(spec.dec)):
             up = _block(x, params[f"dec{li}up"], spec, up=True, train=train, stats_out=stats_out, name=f"dec{li}up", precision=prec)

@@ -24,14 +24,14 @@ from oai_analysis_2_tpu.parallel.batch import BatchKneePipeline
 from oai_analysis_2_tpu.parallel.sharding import make_device_mesh
 from oai_analysis_2_tpu.utils.checkpoint import save_checkpoint
 
-REG_CFG = GradICONConfig(grid_shape=(16, 24, 24), scales=(2, 1), stage_width=2)
+REG_CFG = GradICONConfig(grid_shape=(8, 16, 16), scales=(2, 1), stage_width=2)
 
 
 @pytest.fixture(scope="module")
 def seg_config(tmp_path_factory):
     tmp = tmp_path_factory.mktemp("batchseg")
     config = {
-        "patch_size": [32, 32, 16],  # x, y, z
+        "patch_size": [32, 32, 8],  # x, y, z
         "model": "UNet_light4",
         "model_setting": {"in_channel": 1, "n_classes": 2, "bias": False, "BN": False},
     }
@@ -43,7 +43,7 @@ def seg_config(tmp_path_factory):
         "ckpoint_path": str(tmp / "seg.npz"),
         "training_config_file": str(tmp / "train_config.json"),
         "batch_size": 4,
-        "overlap_size": (4, 4, 2),
+        "overlap_size": (8, 8, 2),
         "compute_dtype": "float32",
     }
 
@@ -51,13 +51,13 @@ def seg_config(tmp_path_factory):
 @pytest.fixture(scope="module")
 def volumes():
     rng = np.random.default_rng(3)
-    shape = (24, 48, 48)
+    shape = (8, 32, 32)
     knees = []
-    for i in range(3):
+    for i in range(2):
         z, y, x = np.meshgrid(*[np.arange(s, dtype=np.float32) for s in shape], indexing="ij")
-        c = (12.0 + i, 26.0 - i, 24.0)
+        c = (4.0, 17.0 - i, 16.0)
         rr = np.sqrt(((z - c[0]) * 2.0) ** 2 + (y - c[1]) ** 2 + (x - c[2]) ** 2)
-        shell = np.clip(1.0 - np.abs(rr - 8.0) / 2.0, 0, 1)
+        shell = np.clip(1.0 - np.abs(rr - 6.0) / 2.0, 0, 1)
         vol = shell * 0.8 + rng.uniform(0, 0.2, shape).astype(np.float32)
         knees.append(
             image_from_array(vol.astype(np.float32), spacing=(0.5, 0.5, 1.0))
@@ -113,8 +113,8 @@ class TestBatchMatchesSingle:
             instance_scales=(2,), instance_steps=(1,),
         )
         warped, disp = bpipe.run_device_batch(knees)
-        assert warped.shape == (3,) + atlas.data.shape + (2,)
-        assert disp.shape == (3,) + REG_CFG.grid_shape + (3,)
+        assert warped.shape == (len(knees),) + atlas.data.shape + (2,)
+        assert disp.shape == (len(knees),) + REG_CFG.grid_shape + (3,)
         for i, (fc_s, tc_s) in enumerate(singles):
             _assert_probmaps_close(warped[i, ..., 0], fc_s)
             _assert_probmaps_close(warped[i, ..., 1], tc_s)
@@ -170,7 +170,7 @@ class TestBatchMatchesSingle:
             instance_scales=(2, 1), instance_steps=(1, 1),
         )
         other = image_from_array(
-            np.zeros((24, 48, 48), np.float32), spacing=(0.6, 0.5, 1.0)
+            np.zeros((8, 32, 32), np.float32), spacing=(0.6, 0.5, 1.0)
         )
         with pytest.raises(ValueError, match="geometr"):
             bpipe.run_device_batch([knees[0], other])

@@ -105,7 +105,12 @@ class TestTwoProcessCohort:
         """After host 0 finishes its stride, a rerun covering ALL items (one
         host) must skip host 0's completed ones."""
         path = tmp_path / "manifest.json"
-        r0 = CohortRunner(lambda i: {}, manifest_path=path, verbose=False, host=0, n_hosts=2)
+        # static striding pins host 0 to items 0,2,4 (under the default
+        # dynamic claiming a lone host would drain the whole queue)
+        r0 = CohortRunner(
+            lambda i: {}, manifest_path=path, verbose=False, host=0, n_hosts=2,
+            scheduling="static",
+        )
         r0.run([f"k{i}" for i in range(6)])
 
         calls = []

@@ -131,6 +131,33 @@ class TestMarchingCubes:
             mesh = marching_cubes(v, 0.5)
             assert mesh.n_points == 0 and mesh.n_cells == 0
 
+    def test_multi_bbox_slice_matches_host(self):
+        """marching_cubes_multi (batched count + active-bbox slice extract)
+        must emit exactly the host path's mesh — incl. surfaces far off
+        center and surfaces touching the volume boundary (anchor clamping)."""
+        import jax.numpy as jnp
+
+        from oai_analysis_2_tpu.mesh.marching_cubes import marching_cubes_multi
+
+        n = 40
+        z, y, x = np.meshgrid(*[np.arange(n, dtype=np.float32)] * 3, indexing="ij")
+        off_center = (7.0 - np.sqrt((z - 8) ** 2 + (y - 30) ** 2 + (x - 9) ** 2)).astype(
+            np.float32
+        )
+        touching = (12.0 - np.sqrt((z - 2) ** 2 + (y - 2) ** 2 + (x - 20) ** 2)).astype(
+            np.float32
+        )
+        vols = [off_center, touching]
+        multi = marching_cubes_multi(
+            [jnp.asarray(v) for v in vols], 0.0, spacing=(0.5, 0.36, 0.7)
+        )
+        for v, got in zip(vols, multi):
+            want = marching_cubes(v, 0.0, spacing=(0.5, 0.36, 0.7))
+            assert got.n_points == want.n_points and got.n_cells == want.n_cells
+            gv = got.vertices[np.lexsort(got.vertices.T)]
+            wv = want.vertices[np.lexsort(want.vertices.T)]
+            assert np.allclose(gv, wv, atol=1e-5)
+
 
 class TestThicknessCrossOracle:
     def test_mc_vs_tets_thickness_median(self):
