@@ -139,16 +139,28 @@ def main():
     rng = np.random.default_rng(42)
     lowres = (6, 12, 12)
 
-    def sample_batch():
+    def _ramp(spec: str, frac: float) -> float:
+        """'a:b' -> linear ramp a->b over training (deformation-magnitude
+        curriculum); plain 'a' -> constant."""
+        parts = [float(v) for v in spec.split(":")]
+        return parts[0] if len(parts) == 1 else parts[0] + (parts[1] - parts[0]) * frac
+
+    amp_spec = os.environ.get("GRADICON_AMP", "0.05")
+    trans_spec = os.environ.get("GRADICON_TRANS", "0.04")
+
+    def sample_batch(step_i):
+        frac = step_i / max(steps - 1, 1)
+        amp = _ramp(amp_spec, frac)
+        trans = _ramp(trans_spec, frac)
         ia = rng.integers(0, len(pool), batch)
         same = rng.random(batch) < 0.7  # known-correspondence pairs
         ib = np.where(same, ia, rng.integers(0, len(pool), batch))
         ua = np.stack(
-            [random_lowres_field(rng, lowres, amplitude=0.05, translation=0.04)
+            [random_lowres_field(rng, lowres, amplitude=amp, translation=trans)
              for _ in range(batch)]
         )
         ub = np.stack(
-            [random_lowres_field(rng, lowres, amplitude=0.05, translation=0.04)
+            [random_lowres_field(rng, lowres, amplitude=amp, translation=trans)
              for _ in range(batch)]
         )
         return (
@@ -165,7 +177,7 @@ def main():
     out_path.parent.mkdir(parents=True, exist_ok=True)
     t0 = time.time()
     for i in range(steps):
-        va, vb, ua, ub, same = sample_batch()
+        va, vb, ua, ub, same = sample_batch(i)
         params, opt_state, (loss, sim, reg, sup) = step(
             params, opt_state, va, vb, ua, ub, same
         )

@@ -50,6 +50,26 @@ def identity_map(shape_zyx: Tuple[int, int, int]) -> jax.Array:
     return jnp.stack([zz, yy, xx], axis=-1).astype(jnp.float32)
 
 
+def _identity_map_np(shape_zyx) -> "np.ndarray":
+    """Host-numpy identity map — for values captured in cached CLOSURES.
+
+    jnp ops staged while a jit trace is active produce tracers even on
+    concrete inputs; a memoized builder (e.g. `_scale_run_fn`) called during
+    another program's trace would bake that tracer into its cached closure
+    and poison every later trace (UnexpectedTracerError). numpy constants
+    are immune."""
+    import numpy as np
+
+    d, h, w = shape_zyx
+    z, y, x = np.meshgrid(
+        np.linspace(0.0, 1.0, d, dtype=np.float32),
+        np.linspace(0.0, 1.0, h, dtype=np.float32),
+        np.linspace(0.0, 1.0, w, dtype=np.float32),
+        indexing="ij",
+    )
+    return np.stack([z, y, x], axis=-1)
+
+
 def _to_index(phi: jax.Array, shape_zyx) -> jax.Array:
     scale = jnp.asarray([s - 1.0 for s in shape_zyx], jnp.float32)
     return phi * scale
@@ -412,7 +432,7 @@ def _scale_run_fn(
     import optax
 
     sim_fn = make_similarity(similarity, lncc_window)
-    ident_s = identity_map(shape_s)
+    ident_s = _identity_map_np(shape_s)  # numpy: closure-safe under traces
     lr_norm = lr / float(max(shape_s))
     optimizer = optax.adam(lr_norm)
 
@@ -487,7 +507,7 @@ def _scale_runner(
     import optax
 
     optimizer = optax.adam(lr / float(max(shape_s)))
-    ident_s = identity_map(shape_s)
+    ident_s = _identity_map_np(shape_s)
 
     def run_verbose(base_ab, base_ba, a_s, b_s):
         u0 = jnp.zeros(shape_s + (3,), jnp.float32)

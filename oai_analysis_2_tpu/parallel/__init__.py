@@ -4,6 +4,7 @@ from oai_analysis_2_tpu.parallel.sharding import (
     shard_batch,
 )
 from oai_analysis_2_tpu.parallel.cohort import CohortRunner, CohortManifest
+from oai_analysis_2_tpu.parallel.batch import BatchKneePipeline
 
 __all__ = [
     "make_device_mesh",
@@ -11,4 +12,5 @@ __all__ = [
     "shard_batch",
     "CohortRunner",
     "CohortManifest",
+    "BatchKneePipeline",
 ]

@@ -173,10 +173,10 @@ class BatchKneePipeline:
 
         return register_one
 
-    def _batched_fn(self, template: Image):
+    def _batched_fn(self, template: Image, n_knees: int):
         """Build (and cache) the jitted sharded B-knee program for the
-        template's shape+geometry."""
-        key = self._meta_key(template)
+        template's shape+geometry and padded batch size."""
+        key = self._meta_key(template) + (n_knees,)
         if key in self._programs:
             return self._programs[key]
 
@@ -185,8 +185,11 @@ class BatchKneePipeline:
             seg.pred_setup()
         cfg = self.reg_config
         vol_shape = tuple(template.data.shape)
-        seg_fn = seg.volume_fn(
-            vol_shape, int(seg.config.get("batch_size", 4)), threshold=False
+        # knee axis = plain conv batch dim (NOT vmap): per-knee cost then
+        # matches the single-knee program (vmap re-laid-out the convs,
+        # measured 1.7-2.4x slower), and the dim shards over the mesh
+        seg_fn = seg.volume_fn_batched(
+            n_knees, vol_shape, int(seg.config.get("batch_size", 4)), threshold=False
         )
         n_classes = seg.model.spec.n_classes
 
@@ -218,24 +221,30 @@ class BatchKneePipeline:
         normalize = self.normalize
         wdt = jnp.bfloat16 if self.warp_dtype == "bfloat16" else jnp.float32
 
-        def batched(seg_params, reg_params, knees):
-            # atlas-side work happens ONCE, outside the vmap
+        # STAGED programs (window -> segment -> register+warp), mirroring the
+        # single-knee pipeline's program structure. One fused mega-jit was
+        # measured 1.7-2.4x slower per knee at production scale (XLA
+        # scheduling/layout of the combined graph); as separate programs each
+        # stage compiles exactly like its single-knee counterpart, and the
+        # intermediates stay on device between calls.
+
+        def window_fn(knees):
+            def window(knee):
+                lo = jnp.percentile(knee, 0.1)
+                hi = jnp.percentile(knee, 99.9)
+                return jnp.clip((knee - lo) / jnp.maximum(hi - lo, 1e-20), 0.0, 1.0)
+
+            return jax.vmap(window)(knees)
+
+        def reg_warp_fn(reg_params, pre, maps):
             atlas_f32 = self.atlas.data.astype(jnp.float32)
             b = _trilinear_gather(atlas_f32, idx_b, 0.0)
             pts_atlas = physical_grid(
                 atlas_shape, self.atlas.origin, self.atlas.spacing, self.atlas.direction
             )
 
-            def per_knee(knee):
-                if normalize:
-                    lo = jnp.percentile(knee, 0.1)
-                    hi = jnp.percentile(knee, 99.9)
-                    pre = jnp.clip((knee - lo) / jnp.maximum(hi - lo, 1e-20), 0.0, 1.0)
-                else:
-                    pre = knee
-                maps = seg_fn(seg_params, pre)  # (C, D, H, W)
-
-                a = _trilinear_gather(pre, idx_a, 0.0)
+            def reg_warp(pre_k, maps_k):
+                a = _trilinear_gather(pre_k, idx_a, 0.0)
                 _, phi_ba = register_one(reg_params, a, b)
                 disp = (_normalized_to_physical(grid_a, phi_ba) - p_b).astype(
                     jnp.float32
@@ -249,22 +258,25 @@ class BatchKneePipeline:
                     )
                 pts = pts_atlas + up
                 idx_knee = template.physical_to_indices(pts)[..., ::-1]
-                stacked = jnp.moveaxis(maps, 0, -1).astype(wdt)  # (D,H,W,C)
+                stacked = jnp.moveaxis(maps_k, 0, -1).astype(wdt)  # (D,H,W,C)
                 warped = _trilinear_gather(stacked, idx_knee, 0.0).astype(jnp.float32)
                 return warped, disp
 
-            return jax.vmap(per_knee)(knees)
+            return jax.vmap(reg_warp)(pre, maps)
 
         if self.mesh is not None:
             flat = Mesh(self.mesh.devices.reshape(-1), ("data",))
             rep = NamedSharding(flat, P())
             data = NamedSharding(flat, P("data"))
-            jitted = jax.jit(
-                batched, in_shardings=(rep, rep, data), out_shardings=data
+            stages = (
+                jax.jit(window_fn, in_shardings=(data,), out_shardings=data),
+                jax.jit(seg_fn, in_shardings=(rep, data), out_shardings=data),
+                jax.jit(reg_warp_fn, in_shardings=(rep, data, data), out_shardings=data),
             )
-            program = (jitted, flat)
+            program = (stages, flat)
         else:
-            program = (jax.jit(batched), None)
+            stages = (jax.jit(window_fn), jax.jit(seg_fn), jax.jit(reg_warp_fn))
+            program = (stages, None)
         self._programs[key] = program
         return program
 
@@ -283,10 +295,10 @@ class BatchKneePipeline:
                 f"metadata; got {len(metas)} distinct geometries"
             )
         template = images[0]
-        jitted, flat = self._batched_fn(template)
         n_dev = self.n_devices
         n = len(images)
         pad = (-n) % n_dev
+        (window_j, seg_j, reg_warp_j), flat = self._batched_fn(template, n + pad)
         knees = np.stack(
             [np.asarray(im.data, np.float32) for im in images]
             + [np.zeros(template.data.shape, np.float32)] * pad
@@ -296,7 +308,9 @@ class BatchKneePipeline:
             knees = jax.device_put(knees, NamedSharding(flat, P("data")))
         seg_params = self.segmenter.params
         reg_params = self.registerer.params if self.registerer.mode == "network" else ()
-        warped, disp = jitted(seg_params, reg_params, knees)
+        pre = window_j(knees) if self.normalize else knees
+        maps = seg_j(seg_params, pre)
+        warped, disp = reg_warp_j(reg_params, pre, maps)
         jax.block_until_ready(warped)
         return np.asarray(warped)[:n], np.asarray(disp)[:n]
 

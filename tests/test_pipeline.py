@@ -65,6 +65,22 @@ class TestSegmenter:
         # boundary margin zeroed with the reference's axis quirk (z<-cz, y<-cx, x<-cy)
         assert np.all(f[:2] == 0) and np.all(f[:, :4] == 0) and np.all(f[:, :, :4] == 0)
 
+    def test_evaluation_entry_point(self, seg_setup):
+        """`test()` — the evaluation path the reference stubs out
+        (segmenter.py:94-98) — returns per-class Dice through the production
+        segment path."""
+        seg = Segmenter3DInPatchClassWise(mode="pred", config=seg_setup)
+        rng = np.random.default_rng(5)
+        img = image_from_array(rng.uniform(0, 1, (24, 48, 48)).astype(np.float32))
+        # oracle labels = the model's own thresholded prediction -> Dice 1.0
+        fc, tc = seg.segment(img, if_output_prob_map=False, if_output_itk=False)
+        label = np.stack([np.asarray(fc), np.asarray(tc)])
+        out = seg.test([(img, label)])
+        assert out["per_volume_dice"] == [[1.0, 1.0]]
+        # disjoint labels -> Dice 0.0
+        out0 = seg.test([(img, 1.0 - label)])
+        assert all(d < 0.7 for d in out0["mean_dice"])
+
     def test_threshold_mode(self, seg_setup):
         seg = Segmenter3DInPatchClassWise(mode="pred", config=seg_setup)
         rng = np.random.default_rng(1)
