@@ -56,7 +56,6 @@ def build_pipeline():
     from oai_analysis_2_tpu.core.image import image_from_array
     from oai_analysis_2_tpu.engine.pipeline import KneePipeline
     from oai_analysis_2_tpu.engine.segmenter import Segmenter3DInPatchClassWise
-    from oai_analysis_2_tpu.models.gradicon import GradICONConfig
     from oai_analysis_2_tpu.models.unet3d import NETWORK_SPECS, UNet3D, make_threshold_params
     from oai_analysis_2_tpu.utils.checkpoint import save_checkpoint
 
@@ -118,7 +117,7 @@ def build_pipeline():
     pipe = KneePipeline(
         segmenter,
         atlas,
-        registration_config=GradICONConfig(),
+        registration_config=None,  # adopt the shipped checkpoint's architecture
         instance_scales=(4, 2, 1),
         instance_steps=(80, 60, 40),
         registration_mode="auto",

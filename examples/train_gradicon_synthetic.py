@@ -201,6 +201,11 @@ def main():
                     {
                         "params": {f"stage{k}": p for k, p in enumerate(params)},
                         "epoch": i,
+                        # architecture metadata: lets ICON_Registration adapt
+                        # its default config to whatever width/grid shipped
+                        "stage_width": width,
+                        "grid_shape": list(shape),
+                        "scales": list(cfg.scales),
                     },
                     is_best=False,
                     path=out_path.parent,

@@ -79,20 +79,22 @@ class KneePipeline:
 
         self.segmenter = segmenter
         self.atlas = atlas_image
-        self.reg_config = registration_config or GradICONConfig()
         self.instance_scales = instance_scales
         self.instance_steps = instance_steps
         self.normalize = normalize
         self.warp_dtype = warp_dtype
         self.registerer = ICON_Registration(
             mode=registration_mode,
-            config=self.reg_config,
+            # None lets the registerer adopt the shipped checkpoint's
+            # recorded architecture (width/grid) as its config
+            config=registration_config,
             instance_steps=instance_steps,
             instance_scales=instance_scales,
             finetune_steps=finetune_steps,
             finetune_scales=finetune_scales,
             finetune_lr=finetune_lr,
         )
+        self.reg_config = self.registerer.config  # possibly checkpoint-adapted
 
     def run(self, image: Image) -> KneeResult:
         import jax

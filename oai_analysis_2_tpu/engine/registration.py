@@ -189,6 +189,14 @@ class ICON_Registration:
             load_gradicon_params,
         )
 
+        # With no explicit config, the shipped checkpoint's architecture
+        # metadata (stage_width / grid_shape / scales, if recorded) defines
+        # the default — so retrained weights at a different width or grid
+        # plug in without code changes. An explicit config stays authoritative
+        # (mismatched weights are then rejected and auto falls back to
+        # instance mode).
+        if config is None and mode in ("auto", "network"):
+            config = self._config_from_shipped_meta()
         self.config = config or GradICONConfig()
         self.instance_steps = instance_steps
         self.instance_scales = instance_scales
@@ -236,6 +244,28 @@ class ICON_Registration:
                 self.params = load_gradicon_params()
         elif mode != "instance":
             raise ValueError(f"unknown registration mode {mode!r}")
+
+    @staticmethod
+    def _config_from_shipped_meta() -> Optional[GradICONConfig]:
+        """A GradICONConfig matching the shipped checkpoint's recorded
+        architecture, or None (no weights / no metadata / unreadable)."""
+        import dataclasses
+
+        from oai_analysis_2_tpu.models.gradicon import (
+            default_gradicon_weights_path,
+            load_gradicon_checkpoint,
+        )
+
+        if not default_gradicon_weights_path().exists():
+            return None
+        try:
+            _, meta = load_gradicon_checkpoint()
+        except Exception:  # noqa: BLE001 — unreadable file -> default config
+            return None
+        if not meta:
+            return None
+        fields = {f.name for f in dataclasses.fields(GradICONConfig)}
+        return GradICONConfig(**{k: v for k, v in meta.items() if k in fields})
 
     def _try_load_default(self, load_fn, path_fn) -> bool:
         """Auto mode: load the shipped weights iff they exist AND match this

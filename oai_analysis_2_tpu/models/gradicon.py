@@ -289,11 +289,32 @@ def default_gradicon_weights_path():
 def load_gradicon_params(path=None) -> List[dict]:
     """Load a GradICON stage-params list from a native npz checkpoint written
     by `save_checkpoint({"params": {"stage{i}": ...}})`."""
+    params, _ = load_gradicon_checkpoint(path)
+    return params
+
+
+def load_gradicon_checkpoint(path=None) -> Tuple[List[dict], dict]:
+    """(stage-params list, architecture metadata) from a native checkpoint.
+
+    The metadata dict carries whatever the training run recorded —
+    `stage_width`, `grid_shape`, `scales` — so `ICON_Registration` can adapt
+    its default config to the shipped architecture (the reference hard-codes
+    its pretrained net's architecture in code, registration.py:18-27; here
+    the checkpoint is self-describing). Older checkpoints without metadata
+    return {}."""
     from oai_analysis_2_tpu.utils.checkpoint import load_checkpoint
 
     path = default_gradicon_weights_path() if path is None else path
-    stages = load_checkpoint(path)["params"]
-    return [stages[f"stage{i}"] for i in range(len(stages))]
+    state = load_checkpoint(path)
+    stages = state["params"]
+    meta = {}
+    if "stage_width" in state:
+        meta["stage_width"] = int(state["stage_width"])
+    if "grid_shape" in state:
+        meta["grid_shape"] = tuple(int(v) for v in state["grid_shape"])
+    if "scales" in state:
+        meta["scales"] = tuple(int(v) for v in state["scales"])
+    return [stages[f"stage{i}"] for i in range(len(stages))], meta
 
 
 def make_gradicon_train_step(model: GradICON, optimizer):

@@ -92,7 +92,6 @@ class BatchKneePipeline:
         self.segmenter = segmenter
         self.atlas = atlas_image
         self.mesh = mesh
-        self.reg_config = registration_config or GradICONConfig()
         self.instance_scales = tuple(instance_scales)
         self.instance_steps = instance_steps
         self.finetune_steps = finetune_steps
@@ -103,15 +102,17 @@ class BatchKneePipeline:
         self.normalize = normalize
         self.warp_dtype = warp_dtype
         # mode resolution + weight loading exactly like the single pipeline
+        # (config=None adopts the shipped checkpoint's recorded architecture)
         self.registerer = ICON_Registration(
             mode=registration_mode,
-            config=self.reg_config,
+            config=registration_config,
             instance_steps=instance_steps,
             instance_scales=instance_scales,
             finetune_steps=finetune_steps,
             finetune_scales=finetune_scales,
             finetune_lr=finetune_lr,
         )
+        self.reg_config = self.registerer.config  # possibly checkpoint-adapted
         self._programs: dict = {}
 
     # -- program construction ---------------------------------------------------
@@ -262,16 +263,31 @@ class BatchKneePipeline:
                 warped = _trilinear_gather(stacked, idx_knee, 0.0).astype(jnp.float32)
                 return warped, disp
 
-            return jax.vmap(reg_warp)(pre, maps)
+            # lax.map, NOT vmap: each chip registers its local knees
+            # SEQUENTIALLY with the exact single-knee program (vmap re-lays
+            # out the stage-UNet convs: measured 1.5x per-knee at B=2), and
+            # sequential per-knee peaks, not sums, the warp's index/gather
+            # intermediates (~1.7 GB each at production scale)
+            return jax.lax.map(lambda ab: reg_warp(ab[0], ab[1]), (pre, maps))
 
         if self.mesh is not None:
+            from jax.experimental.shard_map import shard_map
+
             flat = Mesh(self.mesh.devices.reshape(-1), ("data",))
             rep = NamedSharding(flat, P())
             data = NamedSharding(flat, P("data"))
+            # shard_map: each chip lax.maps over ITS OWN knees — a global
+            # lax.map over a sharded axis would run the scan's iterations
+            # sequentially across the whole mesh (chips idle in turn)
+            reg_warp_sharded = shard_map(
+                reg_warp_fn, mesh=flat,
+                in_specs=(P(), P("data"), P("data")),
+                out_specs=P("data"),
+            )
             stages = (
                 jax.jit(window_fn, in_shardings=(data,), out_shardings=data),
                 jax.jit(seg_fn, in_shardings=(rep, data), out_shardings=data),
-                jax.jit(reg_warp_fn, in_shardings=(rep, data, data), out_shardings=data),
+                jax.jit(reg_warp_sharded, in_shardings=(rep, data, data), out_shardings=data),
             )
             program = (stages, flat)
         else:
@@ -286,8 +302,17 @@ class BatchKneePipeline:
         """The device part only: (B knees) -> (warped (B,Da,Ha,Wa,C) numpy,
         disp (B,gz,gy,gx,3) numpy). Pads the batch to a multiple of the mesh
         size; padding knees are dropped from the output."""
+        warped, disp = self._run_device_batch_dev(images)
+        return np.asarray(warped), np.asarray(disp)
+
+    def _run_device_batch_dev(self, images: Sequence[Image]):
+        """Like run_device_batch but returns DEVICE arrays. Downstream
+        thickness consumes the warped probmaps on device (marching cubes is
+        device-side), so materializing them on host would move
+        B x 160x384x384 x C floats over the wire for nothing — measured 4x
+        the entire device pipeline's cost on the TPU tunnel."""
         if not images:
-            return np.zeros((0,)), np.zeros((0,))
+            return jnp.zeros((0,)), jnp.zeros((0,))
         metas = {self._meta_key(im) for im in images}
         if len(metas) != 1:
             raise ValueError(
@@ -312,7 +337,7 @@ class BatchKneePipeline:
         maps = seg_j(seg_params, pre)
         warped, disp = reg_warp_j(reg_params, pre, maps)
         jax.block_until_ready(warped)
-        return np.asarray(warped)[:n], np.asarray(disp)[:n]
+        return warped[:n], disp[:n]
 
     def run_batch(self, images: Sequence[Image], compute_thickness: bool = True
                   ) -> List[KneeResult]:
@@ -321,16 +346,16 @@ class BatchKneePipeline:
 
         timer = StageTimer()
         with timer.stage("device_batch"):
-            warped, _ = self.run_device_batch(images)
+            warped, _ = self._run_device_batch_dev(images)
         results = []
         for i in range(len(images)):
             fc = Image(
-                data=jnp.asarray(warped[i, ..., 0]),
+                data=warped[i, ..., 0],
                 origin=self.atlas.origin,
                 spacing=self.atlas.spacing,
                 direction=self.atlas.direction,
             )
-            tc = fc.with_data(jnp.asarray(warped[i, ..., 1]))
+            tc = fc.with_data(warped[i, ..., 1])
             if compute_thickness:
                 with timer.stage(f"thickness_{i}"):
                     (fci, fco), (tci, tco) = get_thickness_meshes(

@@ -180,3 +180,41 @@ class TestShippedWeights:
         # stage params carry the trained (nonzero) displacement heads
         head = np.asarray(reg.params[0]["head"]["kernel"])
         assert np.abs(head).max() > 0
+
+    def test_auto_mode_adopts_checkpoint_architecture(self, tmp_path, monkeypatch):
+        """With no explicit config, auto mode must build its GradICONConfig
+        from the checkpoint's recorded architecture metadata — so retrained
+        weights at a different width/grid ship without code changes."""
+        import jax
+
+        from oai_analysis_2_tpu.engine import registration as reg_mod
+        from oai_analysis_2_tpu.models import gradicon as g
+        from oai_analysis_2_tpu.utils.checkpoint import save_checkpoint
+
+        cfg = g.GradICONConfig(grid_shape=(16, 32, 32), scales=(2, 1), stage_width=4)
+        params = g.GradICON(cfg).init(jax.random.PRNGKey(0))
+        save_checkpoint(
+            {
+                "params": {f"stage{i}": p for i, p in enumerate(params)},
+                "stage_width": cfg.stage_width,
+                "grid_shape": list(cfg.grid_shape),
+                "scales": list(cfg.scales),
+            },
+            is_best=False,
+            path=tmp_path,
+            name="gradicon.npz",
+        )
+        monkeypatch.setattr(
+            g, "default_gradicon_weights_path", lambda: tmp_path / "gradicon.npz"
+        )
+        reg = reg_mod.ICON_Registration(mode="auto", config=None)
+        assert reg.mode == "network"
+        assert reg.config.stage_width == 4
+        assert reg.config.grid_shape == (16, 32, 32)
+        assert reg.config.scales == (2, 1)
+        # an EXPLICIT mismatched config stays authoritative: weights are
+        # rejected and auto falls back to instance optimization
+        reg2 = reg_mod.ICON_Registration(
+            mode="auto", config=g.GradICONConfig(stage_width=16)
+        )
+        assert reg2.mode == "instance"
