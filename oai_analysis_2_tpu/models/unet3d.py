@@ -35,6 +35,7 @@ from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 Params = Dict[str, dict]
@@ -264,13 +265,20 @@ def make_threshold_params(
     spec = model.spec
     if not spec.bias:
         raise ValueError("threshold params need spec.bias=True for the shift")
-    params = model.init(key if key is not None else jax.random.PRNGKey(0))
-    params = jax.tree_util.tree_map(jnp.zeros_like, params)
+    # host-side numpy throughout: eval_shape avoids materializing random
+    # init on the accelerator — on a tunneled TPU the device init + ~60
+    # per-leaf .at[].set() dispatches + pull-back for np.savez cost minutes
+    # of bench/test warmup for what is a pure-host weight construction
+    del key  # weights are deterministic zeros+taps; no randomness consumed
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0))
+    params = jax.tree_util.tree_map(
+        lambda s: np.zeros(s.shape, s.dtype), shapes
+    )
 
     def center_tap(p, cin_idx, cout_idx):
         k = p["kernel"]
         c = k.shape[0] // 2
-        p["kernel"] = k.at[c, c, c, cin_idx, cout_idx].set(1.0)
+        k[c, c, c, cin_idx, cout_idx] = 1.0
 
     # identity path: input -> enc0a ch0 -> enc0b ch0 -> (skip) -> dec{last}a/b
     center_tap(params["enc0a"], 0, 0)
@@ -285,8 +293,7 @@ def make_threshold_params(
     )
     for name in heads:
         p = params[name]
-        k = p["kernel"]
-        p["kernel"] = k.at[0, 0, 0, 0, :].set(gain)
+        p["kernel"][0, 0, 0, 0, :] = gain
         p["bias"] = p["bias"] + (-gain * threshold)
     return params
 
