@@ -9,6 +9,12 @@ registration tests (test_all.py:72-99).
 
 Usage:  python examples/validate_registration.py [vol_z vol_y vol_x]
             [--network [finetune_steps]] [--net-grid Z,Y,X]
+            [--weights PATH]
+
+--weights evaluates a CANDIDATE checkpoint (e.g. a fresh training run)
+instead of the shipped weights; its recorded architecture metadata
+(stage_width/scales) configures the network, so candidates at any width
+validate without code changes.
 
 --network registers with the shipped trained GradICON weights (one forward
 pass + optional per-pair fine-tuning steps) instead of full instance
@@ -56,6 +62,11 @@ def main():
         if i + 1 < len(argv) and argv[i + 1].isdigit():
             finetune = int(argv.pop(i + 1))
         argv.remove("--network")
+    weights_path = None
+    if "--weights" in argv:
+        i = argv.index("--weights")
+        weights_path = argv[i + 1]
+        del argv[i : i + 2]
     net_grid = None
     if "--net-grid" in argv:
         i = argv.index("--net-grid")
@@ -93,19 +104,30 @@ def main():
     # moving(x) = fixed(x + gt(x)) — the pullback through the known field
     moving = resample_image(fixed, fixed, displacement=gt_field)
 
-    cfg = GradICONConfig(grid_shape=net_grid) if net_grid else GradICONConfig()
     t0 = time.time()
     if use_network:
+        import dataclasses
+
         from oai_analysis_2_tpu.models.gradicon import (
             GradICON,
-            load_gradicon_params,
+            load_gradicon_checkpoint,
         )
 
+        params, meta = load_gradicon_checkpoint(weights_path)
+        # candidate checkpoints carry their architecture; the grid stays
+        # overridable (fully convolutional stages run at any /4-divisible
+        # grid — the accuracy-vs-grid sweep knob)
+        fields = {f.name for f in dataclasses.fields(GradICONConfig)}
+        kw = {k: v for k, v in meta.items() if k in fields}
+        if net_grid:
+            kw["grid_shape"] = net_grid
+        cfg = GradICONConfig(**kw)
         phi_ab, _ = register_pair(
-            fixed, moving, model=GradICON(cfg), params=load_gradicon_params(),
+            fixed, moving, model=GradICON(cfg), params=params,
             config=cfg, finetune_steps=finetune,
         )
     else:
+        cfg = GradICONConfig(grid_shape=net_grid) if net_grid else GradICONConfig()
         phi_ab, _ = register_pair(
             fixed, moving, config=cfg,
             instance_scales=(4, 2, 1), instance_steps=(80, 60, 40),

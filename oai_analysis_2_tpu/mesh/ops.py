@@ -232,24 +232,24 @@ def _surface_distance_impl(points, tri_a, tri_b, tri_c, point_chunk: int, tri_ch
     return jnp.sqrt(d2.reshape(-1))
 
 
-def distance_to_surface(
+def distance_to_surface_async(
     points: np.ndarray, target: Mesh, point_chunk: int = 2048, force_xla: bool = False
-) -> np.ndarray:
-    """Unsigned distance from each point to the closest point on `target`'s
-    surface (exact point-to-triangle). Triangles are padded to a power-of-2
-    bucket with far-away degenerate triangles so the kernel compiles once per
-    (bucket, chunk), not once per mesh. `force_xla` skips the Pallas kernel
-    (cross-oracle for the chip-gated regression test)."""
+):
+    """Dispatch the surface-distance kernel and return (device array, n)
+    WITHOUT a host sync — callers processing many meshes dispatch all
+    kernels first and pull results afterwards, so device compute overlaps
+    the per-array tunnel transfers. n == 0 means a trivially-empty result
+    (no target cells or no points); the device handle is then None."""
     if target.n_cells == 0 or len(points) == 0:
-        return np.zeros(len(points), np.float32)
+        return None, 0
     from oai_analysis_2_tpu.ops.bucketing import bucket_size, pad_rows
     from oai_analysis_2_tpu.ops.pallas_kernels import (
         pallas_available,
-        point_triangle_distance_pallas,
+        point_triangle_distance_pallas_async,
     )
 
     if pallas_available() and not force_xla:
-        return point_triangle_distance_pallas(points, target.triangles())
+        return point_triangle_distance_pallas_async(points, target.triangles())
 
     tri_chunk = 8192
     tri_np = pad_rows(target.triangles().astype(np.float32),
@@ -260,7 +260,28 @@ def distance_to_surface(
     d = _surface_distance_impl(
         jnp.asarray(pts), tri[:, 0], tri[:, 1], tri[:, 2], point_chunk, tri_chunk,
     )
-    return np.asarray(d)[: len(points)]
+    return d, len(points)
+
+
+def _sync_distance(pending, n_points: int) -> np.ndarray:
+    dev, n = pending
+    if n == 0:
+        return np.zeros(n_points, np.float32)
+    return np.asarray(dev)[:n]
+
+
+def distance_to_surface(
+    points: np.ndarray, target: Mesh, point_chunk: int = 2048, force_xla: bool = False
+) -> np.ndarray:
+    """Unsigned distance from each point to the closest point on `target`'s
+    surface (exact point-to-triangle). Triangles are padded to a power-of-2
+    bucket with far-away degenerate triangles so the kernel compiles once per
+    (bucket, chunk), not once per mesh. `force_xla` skips the Pallas kernel
+    (cross-oracle for the chip-gated regression test)."""
+    return _sync_distance(
+        distance_to_surface_async(points, target, point_chunk, force_xla),
+        len(points),
+    )
 
 
 def get_distance(inner_mesh: Mesh, outer_mesh: Mesh):

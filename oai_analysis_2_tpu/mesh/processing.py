@@ -164,8 +164,27 @@ def get_thickness_meshes(
         ]
     raws = [filter_small_components(r, filter_threshold) for r in extracted]
     smoothed = smooth_meshes(raws, num_iterations=num_iterations)
-    out = []
+    # dispatch every distance kernel BEFORE pulling any result: each early
+    # host sync is a tunnel round trip that serializes the remaining device
+    # compute behind it (matters at 2 syncs/tissue x 2B tissues per batch)
+    from oai_analysis_2_tpu.mesh.ops import _sync_distance, distance_to_surface_async
+
+    pending = []
     for mesh, mesh_type in zip(smoothed, mesh_types):
         inner, outer = split_mesh(mesh, mesh_type)
-        out.append(get_distance(inner, outer))
+        pending.append(
+            (
+                inner,
+                outer,
+                distance_to_surface_async(inner.vertices, outer),
+                distance_to_surface_async(outer.vertices, inner),
+            )
+        )
+    out = []
+    for inner, outer, d_in, d_out in pending:
+        inner = inner.copy()
+        outer = outer.copy()
+        inner.point_data = _sync_distance(d_in, inner.n_points)
+        outer.point_data = _sync_distance(d_out, outer.n_points)
+        out.append((inner, outer))
     return out

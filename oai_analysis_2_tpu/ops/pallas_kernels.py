@@ -127,10 +127,12 @@ def pallas_available() -> bool:
         return False
 
 
-def point_triangle_distance_pallas(points: np.ndarray, triangles: np.ndarray) -> np.ndarray:
-    """points (P, 3); triangles (F, 3, 3). Returns (P,) unsigned distances.
-    Inputs are padded to tile multiples here (padding triangles far away,
-    padding points arbitrary — sliced off)."""
+def point_triangle_distance_pallas_async(points: np.ndarray, triangles: np.ndarray):
+    """Dispatch the distance kernel WITHOUT a host sync: returns
+    (device (P_padded,) distances, n). Callers batching many meshes pull
+    all results after dispatching everything — each early np.asarray is a
+    full tunnel round trip that serializes device compute behind host
+    transfers."""
     from oai_analysis_2_tpu.ops.bucketing import bucket_size, pad_rows
 
     p = np.asarray(points, np.float32)
@@ -139,4 +141,12 @@ def point_triangle_distance_pallas(points: np.ndarray, triangles: np.ndarray) ->
     tri = np.asarray(triangles, np.float32).reshape(-1, 9)
     tt = pad_rows(tri, bucket_size(max(len(tri), TT)), fill=1e8)
     d2 = _distance_pallas(jnp.asarray(pp), jnp.asarray(tt.T.copy()))
-    return np.sqrt(np.asarray(d2)[:n, 0])
+    return jnp.sqrt(d2[:, 0]), n
+
+
+def point_triangle_distance_pallas(points: np.ndarray, triangles: np.ndarray) -> np.ndarray:
+    """points (P, 3); triangles (F, 3, 3). Returns (P,) unsigned distances.
+    Inputs are padded to tile multiples here (padding triangles far away,
+    padding points arbitrary — sliced off)."""
+    d, n = point_triangle_distance_pallas_async(points, triangles)
+    return np.asarray(d)[:n]

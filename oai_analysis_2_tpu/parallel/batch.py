@@ -347,7 +347,7 @@ class BatchKneePipeline:
         timer = StageTimer()
         with timer.stage("device_batch"):
             warped, _ = self._run_device_batch_dev(images)
-        results = []
+        probmaps = []
         for i in range(len(images)):
             fc = Image(
                 data=warped[i, ..., 0],
@@ -355,14 +355,24 @@ class BatchKneePipeline:
                 spacing=self.atlas.spacing,
                 direction=self.atlas.direction,
             )
-            tc = fc.with_data(warped[i, ..., 1])
-            if compute_thickness:
-                with timer.stage(f"thickness_{i}"):
-                    (fci, fco), (tci, tco) = get_thickness_meshes(
-                        [fc, tc], ["FC", "TC"]
-                    )
-            else:
-                fci = fco = tci = tco = None
+            probmaps.append((fc, fc.with_data(warped[i, ..., 1])))
+        if compute_thickness:
+            # ONE thickness call for the whole batch: all 2B tissue maps share
+            # the atlas grid, so marching-cubes counts run in one device pass
+            # and the 150-iteration Laplacian loop smooths every mesh as one
+            # disjoint union — per-knee serial thickness is what stops a
+            # B-knee batch from scaling (device stages shard; host-side
+            # per-knee loops do not)
+            with timer.stage("thickness_batch"):
+                pairs = get_thickness_meshes(
+                    [m for fc, tc in probmaps for m in (fc, tc)],
+                    ["FC", "TC"] * len(images),
+                )
+        else:
+            pairs = [(None, None)] * (2 * len(images))
+        results = []
+        for i, (fc, tc) in enumerate(probmaps):
+            (fci, fco), (tci, tco) = pairs[2 * i], pairs[2 * i + 1]
             results.append(
                 KneeResult(
                     fc_probmap=fc, tc_probmap=tc,

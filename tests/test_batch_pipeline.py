@@ -208,3 +208,34 @@ class TestBatchMatchesSingle:
         # meshes may be small/empty for the random atlas warp — the contract
         # is that the full path executes and returns Mesh objects
         assert r.fc_inner is not None and r.tc_inner is not None
+
+    def test_batched_thickness_matches_per_knee(self, seg_config, volumes):
+        """run_batch extracts thickness for ALL knees' tissues in one
+        batched call (one MC count pass, one disjoint-union smooth); the
+        meshes must match running get_thickness_meshes per knee."""
+        from oai_analysis_2_tpu.mesh.processing import get_thickness_meshes
+
+        knees, atlas = volumes
+        seg = Segmenter3DInPatchClassWise(mode="pred", config=dict(seg_config))
+        bpipe = BatchKneePipeline(
+            seg, atlas, registration_config=REG_CFG, registration_mode="instance",
+            instance_scales=(2,), instance_steps=(0,),
+        )
+        results = bpipe.run_batch(knees, compute_thickness=True)
+        assert len(results) == len(knees)
+        for r in results:
+            pairs = get_thickness_meshes(
+                [r.fc_probmap, r.tc_probmap], ["FC", "TC"]
+            )
+            for got_pair, want_pair in zip(
+                ((r.fc_inner, r.fc_outer), (r.tc_inner, r.tc_outer)), pairs
+            ):
+                for got, want in zip(got_pair, want_pair):
+                    assert got.n_points == want.n_points
+                    if got.n_points:
+                        np.testing.assert_allclose(
+                            got.vertices, want.vertices, atol=1e-5
+                        )
+                        np.testing.assert_allclose(
+                            got.point_data, want.point_data, atol=1e-4
+                        )
