@@ -84,7 +84,15 @@ class BatchKneePipeline:
         diffusion_weight: float = 0.3,
         normalize: bool = True,
         warp_dtype: str = "float32",
+        max_batch_per_device: int = 2,
     ):
+        """max_batch_per_device: cap on knees resident per chip in one
+        device program — the batched segmenter's live set (padded volumes +
+        a (B*batch_size)-tile conv batch + canvases) scales with the
+        PER-CHIP knee count, and >2 production knees overflows a 16 GB v5e
+        chip (measured: B=8 unsharded wants 36.7 GB). Bigger batches are
+        chunked; on an n-chip mesh the effective chunk is
+        max_batch_per_device * n_chips (each chip holds its own share)."""
         if warp_dtype not in ("float32", "bfloat16"):
             raise ValueError(
                 f"warp_dtype must be 'float32' or 'bfloat16', got {warp_dtype!r}"
@@ -101,6 +109,7 @@ class BatchKneePipeline:
         self.diffusion_weight = diffusion_weight
         self.normalize = normalize
         self.warp_dtype = warp_dtype
+        self.max_batch_per_device = max(int(max_batch_per_device), 1)
         # mode resolution + weight loading exactly like the single pipeline
         # (config=None adopts the shipped checkpoint's recorded architecture)
         self.registerer = ICON_Registration(
@@ -313,6 +322,16 @@ class BatchKneePipeline:
         the entire device pipeline's cost on the TPU tunnel."""
         if not images:
             return jnp.zeros((0,)), jnp.zeros((0,))
+        chunk = self.max_batch_per_device * self.n_devices
+        if len(images) > chunk:
+            outs = [
+                self._run_device_batch_dev(images[i : i + chunk])
+                for i in range(0, len(images), chunk)
+            ]
+            return (
+                jnp.concatenate([w for w, _ in outs]),
+                jnp.concatenate([d for _, d in outs]),
+            )
         metas = {self._meta_key(im) for im in images}
         if len(metas) != 1:
             raise ValueError(

@@ -35,7 +35,7 @@ import json
 import time
 import traceback
 from pathlib import Path
-from typing import Any, Callable, Dict, List, Optional, Sequence
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
 
 @dataclasses.dataclass
@@ -135,6 +135,8 @@ class CohortRunner:
         scheduling: str = "dynamic",
         claim_ttl: float = 1800.0,
         poll_seconds: float = 2.0,
+        batch_pipeline: Optional[Callable[[List[Any]], List[dict]]] = None,
+        batch_size: int = 1,
     ):
         """host / n_hosts override jax.distributed's process index/count —
         for external schedulers (SLURM array jobs) and tests.
@@ -147,6 +149,13 @@ class CohortRunner:
         claim. MUST exceed the worst-case per-item wall time, else a slow
         item gets double-processed (at-least-once semantics, like Dask's
         worker-loss retry).
+
+        batch_pipeline + batch_size: claim up to batch_size items and run
+        them through ONE call (e.g. BatchKneePipeline.run_batch on a
+        device mesh — knees shard over chips). Returns one result dict per
+        item, in order. claim_ttl must exceed the worst-case BATCH wall
+        time (claims are staked while the batch accumulates). `pipeline`
+        stays the single-item fallback for retries of partial batches.
         """
         auto_host, auto_n = _host_info()
         self.host = auto_host if host is None else host
@@ -160,6 +169,10 @@ class CohortRunner:
         self.scheduling = scheduling
         self.claim_ttl = claim_ttl
         self.poll_seconds = poll_seconds
+        self.batch_pipeline = batch_pipeline
+        self.batch_size = max(int(batch_size), 1)
+        if self.batch_size > 1 and batch_pipeline is None:
+            raise ValueError("batch_size > 1 requires a batch_pipeline")
 
     # -- item state helpers -------------------------------------------------------
 
@@ -239,7 +252,34 @@ class CohortRunner:
 
     # -- scheduling loops ---------------------------------------------------------
 
+    def _run_batch_items(self, keys: List[str], items: List[Any]) -> None:
+        """Run a claimed batch through batch_pipeline; on failure fall back
+        to per-item execution so one poisoned item doesn't sink the batch."""
+        if len(keys) == 1 or self.batch_pipeline is None:
+            for k, it in zip(keys, items):
+                self._run_item(k, it)
+            return
+        t0 = time.time()
+        attempts = {
+            k: self.manifest.items.get(k, {}).get("attempts", 0) for k in keys
+        }
+        try:
+            results = self.batch_pipeline(list(items))
+            per = (time.time() - t0) / len(keys)
+            for k, res in zip(keys, results):
+                self.manifest.mark(
+                    k, "done", seconds=per, attempts=attempts[k] + 1, result=res
+                )
+            if self.verbose:
+                print(f"[cohort] done batch of {len(keys)} ({time.time() - t0:.1f}s)")
+        except Exception as e:  # noqa: BLE001 — isolate batch failures
+            if self.verbose:
+                print(f"[cohort] batch failed ({e}); retrying items singly")
+            for k, it in zip(keys, items):
+                self._run_item(k, it)
+
     def _run_static(self, keys, items) -> None:
+        pending: List[Tuple[str, Any]] = []
         for idx, (key, item) in enumerate(zip(keys, items)):
             if idx % self.n_hosts != self.host:
                 continue
@@ -247,7 +287,12 @@ class CohortRunner:
                 if self.verbose:
                     print(f"[cohort] skip (done): {key}")
                 continue
-            self._run_item(key, item)
+            pending.append((key, item))
+            if len(pending) >= self.batch_size:
+                self._run_batch_items(*map(list, zip(*pending)))
+                pending = []
+        if pending:
+            self._run_batch_items(*map(list, zip(*pending)))
 
     def _run_dynamic(self, keys, items) -> None:
         """Claim-based work queue over the shard manifests.
@@ -264,6 +309,17 @@ class CohortRunner:
             self.manifest.reload()
             progress = False
             waiting = False
+            pending: List[str] = []
+
+            def flush():
+                nonlocal progress, pending
+                if pending:
+                    self._run_batch_items(pending, [by_key[k] for k in pending])
+                    progress = True
+                    if self.verbose:
+                        print(self._progress_line(keys))
+                    pending = []
+
             for key in keys:
                 rec = self.manifest.items.get(key)
                 if self._is_finished(rec):
@@ -291,10 +347,10 @@ class CohortRunner:
                 if contenders and min(contenders) != (claim_t, self.host):
                     waiting = True
                     continue
-                self._run_item(key, by_key[key])
-                progress = True
-                if self.verbose:
-                    print(self._progress_line(keys))
+                pending.append(key)
+                if len(pending) >= self.batch_size:
+                    flush()
+            flush()
             self.manifest.reload()
             if all(self._is_finished(self.manifest.items.get(k)) for k in keys):
                 return

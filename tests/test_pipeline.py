@@ -221,6 +221,72 @@ class TestCohortRunner:
         assert summary2["done"] == 2
 
 
+class TestCohortBatching:
+    def test_batch_claiming_runs_batches(self, tmp_path):
+        """batch_size=2: items execute through batch_pipeline in claimed
+        groups (2,2,1 for 5 items), all marked done with per-item results."""
+        from oai_analysis_2_tpu.parallel.cohort import CohortRunner
+
+        batches = []
+
+        def batch_pipeline(items):
+            batches.append(list(items))
+            return [{"ok": it} for it in items]
+
+        runner = CohortRunner(
+            lambda it: {"ok": it},
+            manifest_path=tmp_path / "m.json",
+            verbose=False,
+            batch_pipeline=batch_pipeline,
+            batch_size=2,
+        )
+        summary = runner.run(["a", "b", "c", "d", "e"])
+        assert summary == {"done": 5}
+        # the leftover single item routes through the plain pipeline (a
+        # 1-item "batch" would just add overhead), so batch_pipeline sees
+        # exactly the two full batches
+        assert sorted(len(b) for b in batches) == [2, 2]
+        assert len(sum(batches, [])) == 4
+        for k in "abcde":
+            assert runner.manifest.items[k]["result"] == {"ok": k}
+
+    def test_batch_failure_falls_back_to_items(self, tmp_path):
+        """A poisoned batch re-runs item-by-item so only the bad item
+        fails."""
+        from oai_analysis_2_tpu.parallel.cohort import CohortRunner
+
+        def batch_pipeline(items):
+            if "bad" in items:
+                raise ValueError("poisoned batch")
+            return [{"ok": it} for it in items]
+
+        def single(item):
+            if item == "bad":
+                raise ValueError("boom")
+            return {"ok": item}
+
+        runner = CohortRunner(
+            single,
+            manifest_path=tmp_path / "m.json",
+            max_retries=0,
+            verbose=False,
+            batch_pipeline=batch_pipeline,
+            batch_size=4,
+        )
+        summary = runner.run(["a", "bad", "c"])
+        assert summary == {"done": 2, "failed": 1}
+
+    def test_batch_size_requires_pipeline(self, tmp_path):
+        from oai_analysis_2_tpu.parallel.cohort import CohortRunner
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="batch_pipeline"):
+            CohortRunner(
+                lambda it: {}, manifest_path=tmp_path / "m.json", batch_size=2
+            )
+
+
 class TestDynamicCohort:
     def test_dead_worker_claim_stolen(self, tmp_path):
         """A worker that died mid-item (stale claim) must not strand its
