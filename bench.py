@@ -239,6 +239,18 @@ def main():
     v5e8_seconds_per_batch = batch8_device / 8.0 + batch8_thickness
     projected_v5e8 = 8 * 3600.0 / max(v5e8_seconds_per_batch, 1e-9)
 
+    # software-pipelined cohort loop (run_batches): batch k's thickness
+    # bookkeeping overlaps batch k+1's async-dispatched device stages, so
+    # steady-state per-batch cost tends to max(device, thickness), not
+    # their sum. Measure the real one-chip overlap over 3 batches.
+    t0 = time.time()
+    bpipe.run_batches([b8, b8, b8])
+    batch8_pipelined_per_batch = (time.time() - t0) / 3.0
+    overlap_gain = batch8_total / max(batch8_pipelined_per_batch, 1e-9)
+    projected_v5e8_pipelined = 8 * 3600.0 / max(
+        batch8_device / 8.0, batch8_thickness, 1e-9
+    )
+
     knees_per_hour = 3600.0 / dt
     result_json = {
         "metric": "single-knee pipeline (seg+reg+warp+thickness), steady-state",
@@ -256,12 +268,19 @@ def main():
         "batch8_seconds_total": round(batch8_total, 2),
         "batch8_device_seconds": round(batch8_device, 2),
         "batch8_thickness_seconds": round(batch8_thickness, 2),
+        "batch8_pipelined_seconds_per_batch": round(batch8_pipelined_per_batch, 2),
+        "batch8_overlap_gain": round(overlap_gain, 3),
         "projected_v5e8_knees_per_hour": round(projected_v5e8, 1),
+        "projected_v5e8_pipelined_knees_per_hour": round(projected_v5e8_pipelined, 1),
         "projection_assumption": (
             "measured B=8 batch on one chip: device stages run the 8 knees "
             "sequentially (lax.map) and shard 1/chip on a v5e-8 with no "
             "cross-chip collectives (dryrun-validated), so per-batch time "
-            "there = device_batch/8 + the measured B=8 batched thickness"
+            "there = device_batch/8 + the measured B=8 batched thickness; "
+            "the pipelined figure additionally overlaps batch k's thickness "
+            "with batch k+1's device stages (run_batches; one-chip overlap "
+            "measured as batch8_overlap_gain), giving per-batch "
+            "max(device/8, thickness)"
         ),
         "registration_mode": pipe.registerer.mode,
         "fc_mesh_points": int(fc_inner.n_points),

@@ -315,17 +315,28 @@ class BatchKneePipeline:
         return np.asarray(warped), np.asarray(disp)
 
     def _run_device_batch_dev(self, images: Sequence[Image]):
-        """Like run_device_batch but returns DEVICE arrays. Downstream
-        thickness consumes the warped probmaps on device (marching cubes is
-        device-side), so materializing them on host would move
-        B x 160x384x384 x C floats over the wire for nothing — measured 4x
-        the entire device pipeline's cost on the TPU tunnel."""
+        """Like run_device_batch but returns DEVICE arrays, blocking until
+        they are ready."""
+        warped, disp = self._dispatch_device_batch(images)
+        jax.block_until_ready(warped)
+        return warped, disp
+
+    def _dispatch_device_batch(self, images: Sequence[Image]):
+        """Dispatch the device stages for a batch WITHOUT blocking on the
+        result (JAX dispatch is async): returns (warped, disp) device
+        arrays still being computed. Downstream thickness consumes the
+        warped probmaps on device (marching cubes is device-side), so
+        materializing them on host would move B x 160x384x384 x C floats
+        over the wire for nothing — measured 4x the entire device
+        pipeline's cost on the TPU tunnel. The async dispatch is what lets
+        `run_batches` overlap batch k's host-side mesh bookkeeping with
+        batch k+1's device compute."""
         if not images:
             return jnp.zeros((0,)), jnp.zeros((0,))
         chunk = self.max_batch_per_device * self.n_devices
         if len(images) > chunk:
             outs = [
-                self._run_device_batch_dev(images[i : i + chunk])
+                self._dispatch_device_batch(images[i : i + chunk])
                 for i in range(0, len(images), chunk)
             ]
             return (
@@ -366,17 +377,55 @@ class BatchKneePipeline:
         pre = window_j(knees) if self.normalize else knees
         maps = seg_j(seg_params, pre)
         warped, disp = reg_warp_j(reg_params, pre, maps)
-        jax.block_until_ready(warped)
         return warped[:n], disp[:n]
 
     def run_batch(self, images: Sequence[Image], compute_thickness: bool = True
                   ) -> List[KneeResult]:
         """Full batch: device pipeline + per-knee thickness meshes."""
-        from oai_analysis_2_tpu.mesh.processing import get_thickness_meshes
-
         timer = StageTimer()
         with timer.stage("device_batch"):
             warped, _ = self._run_device_batch_dev(images)
+        return self._finish_batch(images, warped, compute_thickness, timer)
+
+    def run_batches(
+        self, batches: Sequence[Sequence[Image]], compute_thickness: bool = True
+    ) -> List[List[KneeResult]]:
+        """Software-pipelined multi-batch execution: batch k+1's device
+        stages are DISPATCHED (async) before batch k's thickness meshes are
+        harvested, so the host-side mesh bookkeeping of one batch overlaps
+        the device compute of the next — the cohort-loop analogue of the
+        reference's Dask workers overlapping transfer with compute
+        (dask_processing.py:46-189). Results are identical to calling
+        `run_batch` per batch, in order."""
+        batches = [list(b) for b in batches]
+        out: List[List[KneeResult]] = []
+        pending = None  # (images, warped, timer) of the previous batch
+        for imgs in batches + [None]:
+            if imgs is not None:
+                timer = StageTimer()
+                with timer.stage("device_dispatch"):
+                    warped, _ = self._dispatch_device_batch(imgs)
+                nxt = (imgs, warped, timer)
+            else:
+                nxt = None
+            if pending is not None:
+                p_imgs, p_warped, p_timer = pending
+                with p_timer.stage("device_batch"):
+                    jax.block_until_ready(p_warped)
+                out.append(
+                    self._finish_batch(p_imgs, p_warped, compute_thickness, p_timer)
+                )
+            pending = nxt
+        return out
+
+    def _finish_batch(
+        self, images: Sequence[Image], warped, compute_thickness: bool,
+        timer: StageTimer,
+    ) -> List[KneeResult]:
+        """Host-side tail of a batch: wrap the warped maps and build the
+        per-knee thickness meshes."""
+        from oai_analysis_2_tpu.mesh.processing import get_thickness_meshes
+
         probmaps = []
         for i in range(len(images)):
             fc = Image(

@@ -239,3 +239,34 @@ class TestBatchMatchesSingle:
                         np.testing.assert_allclose(
                             got.point_data, want.point_data, atol=1e-4
                         )
+
+    def test_run_batches_pipelined_matches_sequential(self, seg_config, volumes):
+        """run_batches (async-dispatch software pipeline: batch k+1's device
+        stages overlap batch k's host mesh bookkeeping) returns exactly what
+        per-batch run_batch calls return, in order."""
+        knees, atlas = volumes
+        seg = Segmenter3DInPatchClassWise(mode="pred", config=dict(seg_config))
+        bpipe = BatchKneePipeline(
+            seg, atlas, registration_config=REG_CFG, registration_mode="instance",
+            instance_scales=(2,), instance_steps=(0,),
+        )
+        batches = [knees[:1], knees[1:]]
+        want = [bpipe.run_batch(b, compute_thickness=True) for b in batches]
+        got = bpipe.run_batches(batches, compute_thickness=True)
+        assert [len(g) for g in got] == [len(w) for w in want]
+        for gb, wb in zip(got, want):
+            for g, w in zip(gb, wb):
+                np.testing.assert_allclose(
+                    np.asarray(g.fc_probmap.data), np.asarray(w.fc_probmap.data),
+                    atol=1e-6,
+                )
+                assert (g.fc_inner.n_points, g.tc_inner.n_points) == (
+                    w.fc_inner.n_points, w.tc_inner.n_points,
+                )
+                if g.fc_inner.n_points:
+                    np.testing.assert_allclose(
+                        g.fc_inner.point_data, w.fc_inner.point_data, atol=1e-4
+                    )
+                # the pipelined path reports device_dispatch + device_batch
+                assert "device_dispatch" in g.timings
+                assert "thickness_batch" in g.timings
