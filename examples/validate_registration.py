@@ -8,8 +8,8 @@ This is the no-golden-data substitute for the reference's (smoke-only)
 registration tests (test_all.py:72-99).
 
 Usage:  python examples/validate_registration.py [vol_z vol_y vol_x]
-            [--network [finetune_steps]] [--net-grid Z,Y,X]
-            [--weights PATH]
+            [--network [finetune_steps | s1,s2,...]] [--net-grid Z,Y,X]
+            [--ft-scales S1,S2,...] [--ft-lr LR] [--weights PATH]
 
 --weights evaluates a CANDIDATE checkpoint (e.g. a fresh training run)
 instead of the shipped weights; its recorded architecture metadata
@@ -59,9 +59,22 @@ def main():
     finetune = 10
     if use_network:
         i = argv.index("--network")
-        if i + 1 < len(argv) and argv[i + 1].isdigit():
-            finetune = int(argv.pop(i + 1))
+        if i + 1 < len(argv) and argv[i + 1].replace(",", "").isdigit():
+            spec = argv.pop(i + 1)  # "20" or per-scale "10,10"
+            finetune = (
+                [int(v) for v in spec.split(",")] if "," in spec else int(spec)
+            )
         argv.remove("--network")
+    ft_scales = (2,)
+    if "--ft-scales" in argv:
+        i = argv.index("--ft-scales")
+        ft_scales = tuple(int(v) for v in argv[i + 1].split(","))
+        del argv[i : i + 2]
+    ft_lr = 0.15
+    if "--ft-lr" in argv:
+        i = argv.index("--ft-lr")
+        ft_lr = float(argv[i + 1])
+        del argv[i : i + 2]
     weights_path = None
     if "--weights" in argv:
         i = argv.index("--weights")
@@ -125,6 +138,7 @@ def main():
         phi_ab, _ = register_pair(
             fixed, moving, model=GradICON(cfg), params=params,
             config=cfg, finetune_steps=finetune,
+            finetune_scales=ft_scales, finetune_lr=ft_lr,
         )
     else:
         cfg = GradICONConfig(grid_shape=net_grid) if net_grid else GradICONConfig()
@@ -146,7 +160,11 @@ def main():
     est = np.asarray(sample_displacement(phi_ab, jnp.asarray(pts)))
     mask = shell > 0.5
     err = np.linalg.norm(est[mask] - gt[mask], axis=-1)
-    mode = f"network+ft{finetune}" if use_network else "instance"
+    mode = (
+        f"network+ft{finetune}@scales{ft_scales}lr{ft_lr}"
+        if use_network
+        else "instance"
+    )
     print(f"vol {shape}; net grid {cfg.grid_shape}; registration ({mode}) {dt:.1f}s")
     print(f"image MSE: before {before:.5f} -> after {after:.5f} ({after / before:.2%})")
     print(f"field error in anatomy (mm, GT amplitude {amp}): "
