@@ -136,8 +136,11 @@ def main():
         e = jnp.sqrt(jnp.sum(err * err, axis=-1))
         return jnp.sum(e * mask) / jnp.sum(mask), jnp.mean(e)
 
-    rng = np.random.default_rng(42)
-    lowres = (6, 12, 12)
+    rng = np.random.default_rng(int(os.environ.get("GRADICON_SEED", "42")))
+    lowres = tuple(
+        int(v) for v in os.environ.get("GRADICON_LOWRES", "6,12,12").split(",")
+    )
+    same_frac = float(os.environ.get("GRADICON_SAME", "0.7"))
 
     def _ramp(spec: str, frac: float) -> float:
         """'a:b' -> linear ramp a->b over training (deformation-magnitude
@@ -153,7 +156,7 @@ def main():
         amp = _ramp(amp_spec, frac)
         trans = _ramp(trans_spec, frac)
         ia = rng.integers(0, len(pool), batch)
-        same = rng.random(batch) < 0.7  # known-correspondence pairs
+        same = rng.random(batch) < same_frac  # known-correspondence pairs
         ib = np.where(same, ia, rng.integers(0, len(pool), batch))
         ua = np.stack(
             [random_lowres_field(rng, lowres, amplitude=amp, translation=trans)

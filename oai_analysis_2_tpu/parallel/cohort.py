@@ -108,12 +108,25 @@ class CohortManifest:
 
 
 def _host_info():
-    import jax
+    """(process_index, process_count) WITHOUT forcing backend init.
 
+    jax.process_index() instantiates the platform client if none exists —
+    a worker that only orchestrates host-side work (or runs before the
+    device is reachable) would block on device discovery just to learn its
+    host id. Only consult jax when a backend is already up in this process
+    or jax.distributed was explicitly initialized; else default to (0, 1)
+    (callers pass host/n_hosts explicitly under external schedulers)."""
     try:
-        return jax.process_index(), jax.process_count()
-    except Exception:  # noqa: BLE001
-        return 0, 1
+        import jax
+        from jax._src import distributed, xla_bridge
+
+        backend_up = bool(getattr(xla_bridge, "_backends", None))
+        distributed_up = getattr(distributed.global_state, "client", None) is not None
+        if backend_up or distributed_up:
+            return jax.process_index(), jax.process_count()
+    except Exception:  # noqa: BLE001 — private-API drift or init failure
+        pass
+    return 0, 1
 
 
 class CohortRunner:
