@@ -214,6 +214,10 @@ def main():
                     path=out_path.parent,
                     name=out_path.name,
                 )
+                # sidecar best-tracker: lets warm-restart cycles resume the
+                # tracker (GRADICON_BEST=$(cat out.best)) without risking a
+                # worse later cycle overwriting a better checkpoint
+                (out_path.parent / (out_path.name + ".best")).write_text(f"{best:.6f}")
                 print(f"  saved {out_path} (best {best:.3f} vox)", flush=True)
     print(f"done in {time.time() - t0:.0f}s; best eval {best:.3f} vox")
 

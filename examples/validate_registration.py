@@ -75,6 +75,11 @@ def main():
         i = argv.index("--ft-lr")
         ft_lr = float(argv[i + 1])
         del argv[i : i + 2]
+    inst_steps = (80, 60, 40)
+    if "--inst-steps" in argv:
+        i = argv.index("--inst-steps")
+        inst_steps = tuple(int(v) for v in argv[i + 1].split(","))
+        del argv[i : i + 2]
     weights_path = None
     if "--weights" in argv:
         i = argv.index("--weights")
@@ -144,7 +149,7 @@ def main():
         cfg = GradICONConfig(grid_shape=net_grid) if net_grid else GradICONConfig()
         phi_ab, _ = register_pair(
             fixed, moving, config=cfg,
-            instance_scales=(4, 2, 1), instance_steps=(80, 60, 40),
+            instance_scales=(4, 2, 1), instance_steps=inst_steps,
         )
     jax.block_until_ready(phi_ab.field)
     dt = time.time() - t0
