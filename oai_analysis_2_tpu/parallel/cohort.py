@@ -69,9 +69,24 @@ class CohortManifest:
     def _own_shard(self) -> Path:
         return self.path.parent / f"{self.path.name}.h{self.host}.jsonl"
 
+    @staticmethod
+    def _prefer(cur: Optional[dict], rec: dict) -> dict:
+        """Merge rule: a TERMINAL record (done / failed-with-exhausted-
+        retries) beats any non-terminal one regardless of timestamp — a
+        claim heartbeat racing an item's completion must never mask the
+        completion. Within the same tier, newest time wins (ties to the
+        later-read record)."""
+        if cur is None:
+            return rec
+        terminal = ("done", "failed")
+        cur_t, rec_t = cur.get("status") in terminal, rec.get("status") in terminal
+        if cur_t != rec_t:
+            return cur if cur_t else rec
+        return rec if rec.get("time", 0) >= cur.get("time", 0) else cur
+
     def reload(self) -> None:
-        """Merge the legacy JSON baseline + every host's shard; the newest
-        record per key (by timestamp, ties to later shard lines) wins."""
+        """Merge the legacy JSON baseline + every host's shard via
+        `_prefer` (terminal records win; else newest)."""
         items: Dict[str, dict] = {}
         if self.path.exists():
             with open(self.path) as f:
@@ -84,8 +99,7 @@ class CohortManifest:
                         continue
                     rec = json.loads(line)
                     key = rec.pop("key")
-                    if key not in items or rec.get("time", 0) >= items[key].get("time", 0):
-                        items[key] = rec
+                    items[key] = self._prefer(items.get(key), rec)
         self.items = items
 
     def is_done(self, key: str) -> bool:
@@ -93,7 +107,9 @@ class CohortManifest:
 
     def mark(self, key: str, status: str, **info) -> None:
         rec = {"status": status, "time": time.time(), **info}
-        self.items[key] = rec
+        # in-memory view follows the same merge rule as reload(): a racing
+        # heartbeat claim must not clobber a completion
+        self.items[key] = self._prefer(self.items.get(key), rec)
         self.path.parent.mkdir(parents=True, exist_ok=True)
         line = json.dumps({"key": key, **rec}) + "\n"
         with open(self._own_shard(), "a") as f:
@@ -147,6 +163,8 @@ class CohortRunner:
         n_hosts: Optional[int] = None,
         scheduling: str = "dynamic",
         claim_ttl: float = 1800.0,
+        claim_heartbeat: Optional[float] = None,
+        claim_settle: float = 0.1,
         poll_seconds: float = 2.0,
         batch_pipeline: Optional[Callable[[List[Any]], List[dict]]] = None,
         batch_size: int = 1,
@@ -159,9 +177,23 @@ class CohortRunner:
         "static" — fixed index striding (deterministic assignment).
 
         claim_ttl: seconds after which another host may steal an unfinished
-        claim. MUST exceed the worst-case per-item wall time, else a slow
-        item gets double-processed (at-least-once semantics, like Dask's
-        worker-loss retry).
+        claim. With heartbeats (below) this only needs to exceed a few
+        heartbeat intervals; without them it MUST exceed the worst-case
+        per-item wall time, else a slow item gets double-processed
+        (at-least-once semantics, like Dask's worker-loss retry).
+
+        claim_settle: pause between staking a claim and resolving the winner
+        — must exceed the shared filesystem's write-visibility lag so
+        contemporaneous claims see each other (claim timestamps are taken
+        before their writes land). 0.1 s is ample for local disks; raise on
+        laggy network filesystems.
+
+        claim_heartbeat: while executing claimed items, a daemon thread
+        re-appends fresh claim records every `claim_heartbeat` seconds —
+        the liveness signal Dask workers send their scheduler. A live host
+        processing a slow item keeps its claim fresh indefinitely; a dead
+        host's claims go stale one ttl after its last heartbeat. Defaults
+        to claim_ttl/3 (capped at 60 s); pass 0 to disable.
 
         batch_pipeline + batch_size: claim up to batch_size items and run
         them through ONE call (e.g. BatchKneePipeline.run_batch on a
@@ -181,6 +213,10 @@ class CohortRunner:
             raise ValueError(f"scheduling must be 'dynamic' or 'static', got {scheduling!r}")
         self.scheduling = scheduling
         self.claim_ttl = claim_ttl
+        self.claim_heartbeat = (
+            min(claim_ttl / 3.0, 60.0) if claim_heartbeat is None else claim_heartbeat
+        )
+        self.claim_settle = claim_settle
         self.poll_seconds = poll_seconds
         self.batch_pipeline = batch_pipeline
         self.batch_size = max(int(batch_size), 1)
@@ -265,9 +301,49 @@ class CohortRunner:
 
     # -- scheduling loops ---------------------------------------------------------
 
+    def _heartbeat_claims(self, keys: Sequence[str]):
+        """Daemon thread re-appending fresh claim records for in-flight keys
+        every `claim_heartbeat` seconds (a live host processing a slow item
+        keeps its claims fresh; peers see the newest record — a fresh claim —
+        and keep waiting). Returns a stop callable; no-op when disabled."""
+        import threading
+
+        if self.scheduling != "dynamic" or self.claim_heartbeat <= 0:
+            return lambda: None
+        stop = threading.Event()
+        attempts = {
+            k: self.manifest.items.get(k, {}).get("attempts", 0) for k in keys
+        }
+
+        def beat():
+            while not stop.wait(self.claim_heartbeat):
+                for k in keys:
+                    st = self.manifest.items.get(k, {}).get("status")
+                    if st not in ("done", "failed"):  # still in flight
+                        self.manifest.mark(
+                            k, "claim", claim_host=self.host, attempts=attempts[k]
+                        )
+
+        t = threading.Thread(target=beat, daemon=True)
+        t.start()
+
+        def stopper():
+            stop.set()
+            t.join(timeout=5.0)
+
+        return stopper
+
     def _run_batch_items(self, keys: List[str], items: List[Any]) -> None:
         """Run a claimed batch through batch_pipeline; on failure fall back
-        to per-item execution so one poisoned item doesn't sink the batch."""
+        to per-item execution so one poisoned item doesn't sink the batch.
+        Claims are heartbeat-refreshed while items execute."""
+        stop_heartbeat = self._heartbeat_claims(keys)
+        try:
+            self._run_batch_items_inner(keys, items)
+        finally:
+            stop_heartbeat()
+
+    def _run_batch_items_inner(self, keys: List[str], items: List[Any]) -> None:
         if len(keys) == 1 or self.batch_pipeline is None:
             for k, it in zip(keys, items):
                 self._run_item(k, it)
@@ -340,12 +416,20 @@ class CohortRunner:
                 if self._is_fresh_claim(rec) and rec.get("claim_host") != self.host:
                     waiting = True
                     continue
-                # stake a claim, then check we won it
+                # stake a claim, then check we won it. The settle delay
+                # closes the visibility race: a claim's timestamp is taken
+                # BEFORE its write lands, so two hosts staking within each
+                # other's write lag could each see only themselves and both
+                # win. Waiting > the filesystem's write-visibility lag before
+                # resolving makes contemporaneous claims mutually visible
+                # (coordination-free two-phase claim; Dask linearizes through
+                # its central scheduler instead).
                 self.manifest.mark(
                     key, "claim", claim_host=self.host,
                     attempts=self.manifest.items.get(key, {}).get("attempts", 0),
                 )
                 claim_t = self.manifest.items[key]["time"]
+                time.sleep(self.claim_settle)
                 self.manifest.reload()
                 contenders = []
                 rec2 = self.manifest.items.get(key)

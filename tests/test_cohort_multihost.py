@@ -62,7 +62,8 @@ class TestTwoProcessCohort:
         exactly once."""
         script = tmp_path / "worker.py"
         script.write_text(
-            "import sys, json\n"
+            "import sys, json, faulthandler\n"
+            "faulthandler.dump_traceback_later(120, exit=True)\n"  # self-report hangs
             "sys.path.insert(0, {root!r})\n"
             "from oai_analysis_2_tpu.parallel.cohort import CohortRunner\n"
             "host = int(sys.argv[1])\n"
@@ -71,7 +72,8 @@ class TestTwoProcessCohort:
             "    done.append(item)\n"
             "    return {{'item': item}}\n"
             "r = CohortRunner(pipe, manifest_path={mani!r}, verbose=False,\n"
-            "                 host=host, n_hosts=2)\n"
+            "                 host=host, n_hosts=2, claim_ttl=30.0,\n"
+            "                 poll_seconds=0.2)\n"
             "summary = r.run([f'knee{{i}}' for i in range(10)])\n"
             "print(json.dumps({{'host': host, 'processed': done}}))\n".format(
                 root=str(Path(__file__).resolve().parent.parent),
@@ -89,7 +91,15 @@ class TestTwoProcessCohort:
         ]
         outs = []
         for p in procs:
-            out, err = p.communicate(timeout=300)
+            try:
+                out, err = p.communicate(timeout=240)
+            except subprocess.TimeoutExpired:
+                for q in procs:  # collect both workers' state for diagnosis
+                    q.kill()
+                diags = [q.communicate() for q in procs]
+                raise AssertionError(
+                    f"worker timed out; stderr dumps: {diags!r}"
+                ) from None
             assert p.returncode == 0, err
             outs.append(json.loads(out.strip().splitlines()[-1]))
 

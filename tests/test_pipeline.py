@@ -367,6 +367,56 @@ class TestDynamicCohort:
         assert summary.get("done") == 3
         assert seen == ["mine"]
 
+    def test_heartbeat_keeps_slow_item_claimed(self, tmp_path):
+        """An item slower than claim_ttl is NOT stolen while its host is
+        alive: the claim-heartbeat thread keeps the claim fresh (the Dask
+        worker-liveness signal), so at-least-once never degrades to
+        double-processing for merely-slow work."""
+        import threading
+        import time
+
+        from oai_analysis_2_tpu.parallel.cohort import CohortRunner
+
+        manifest = tmp_path / "m.json"
+        runs = {"h0": [], "h1": []}
+
+        def slow_pipe(item):
+            runs["h0"].append(item)
+            time.sleep(1.0)  # >> claim_ttl
+            return {"ok": item}
+
+        r0 = CohortRunner(
+            slow_pipe, manifest_path=manifest, host=0, n_hosts=2,
+            verbose=False, claim_ttl=0.3, claim_heartbeat=0.05,
+            poll_seconds=0.05,
+        )
+        t0 = threading.Thread(target=lambda: r0.run(["slow"]))
+        t0.start()
+        time.sleep(0.45)  # host 0's ORIGINAL claim is now past ttl
+
+        r1 = CohortRunner(
+            lambda it: runs["h1"].append(it) or {"ok": it},
+            manifest_path=manifest, host=1, n_hosts=2, verbose=False,
+            claim_ttl=0.3, claim_heartbeat=0.05, poll_seconds=0.05,
+        )
+        summary = r1.run(["slow"])
+        t0.join()
+        assert summary.get("done") == 1
+        assert runs["h0"] == ["slow"] and runs["h1"] == []  # never stolen
+
+    def test_terminal_record_beats_later_claim(self, tmp_path):
+        """Merge rule: a done record wins over a LATER claim record (a
+        heartbeat racing the item's completion must not mask it)."""
+        from oai_analysis_2_tpu.parallel.cohort import CohortManifest
+
+        path = tmp_path / "m.json"
+        m = CohortManifest.open(path, host=0)
+        m.mark("x", "done", seconds=1.0)
+        m.mark("x", "claim", claim_host=0)  # stray heartbeat after done
+        assert m.items["x"]["status"] == "done"  # in-memory view
+        merged = CohortManifest.open(path)  # re-read from disk
+        assert merged.items["x"]["status"] == "done"
+
 
 class TestSampler:
     def test_balanced_patch_sampler(self):
