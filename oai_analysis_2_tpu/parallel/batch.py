@@ -280,7 +280,10 @@ class BatchKneePipeline:
             return jax.lax.map(lambda ab: reg_warp(ab[0], ab[1]), (pre, maps))
 
         if self.mesh is not None:
-            from jax.experimental.shard_map import shard_map
+            try:
+                from jax import shard_map  # jax >= 0.8
+            except ImportError:  # older jax
+                from jax.experimental.shard_map import shard_map
 
             flat = Mesh(self.mesh.devices.reshape(-1), ("data",))
             rep = NamedSharding(flat, P())
