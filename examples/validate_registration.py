@@ -80,6 +80,11 @@ def main():
         i = argv.index("--inst-steps")
         inst_steps = tuple(int(v) for v in argv[i + 1].split(","))
         del argv[i : i + 2]
+    inst_scales = (4, 2, 1)
+    if "--inst-scales" in argv:
+        i = argv.index("--inst-scales")
+        inst_scales = tuple(int(v) for v in argv[i + 1].split(","))
+        del argv[i : i + 2]
     weights_path = None
     if "--weights" in argv:
         i = argv.index("--weights")
@@ -149,7 +154,7 @@ def main():
         cfg = GradICONConfig(grid_shape=net_grid) if net_grid else GradICONConfig()
         phi_ab, _ = register_pair(
             fixed, moving, config=cfg,
-            instance_scales=(4, 2, 1), instance_steps=inst_steps,
+            instance_scales=inst_scales, instance_steps=inst_steps,
         )
     jax.block_until_ready(phi_ab.field)
     dt = time.time() - t0
