@@ -168,10 +168,12 @@ def get_thickness_meshes(
     # host sync is a tunnel round trip that serializes the remaining device
     # compute behind it (matters at 2 syncs/tissue x 2B tissues per batch)
     from oai_analysis_2_tpu.mesh.ops import _sync_distance, distance_to_surface_async
+    from oai_analysis_2_tpu.mesh.split import split_meshes
 
+    # ONE batched clustering program for every tissue's split (kmeans_many):
+    # per-mesh splits cost 2 tunnel round-trips per k-means call
     pending = []
-    for mesh, mesh_type in zip(smoothed, mesh_types):
-        inner, outer = split_mesh(mesh, mesh_type)
+    for inner, outer in split_meshes(smoothed, list(mesh_types)):
         pending.append(
             (
                 inner,

@@ -67,3 +67,35 @@ def kmeans(x: np.ndarray, k: int = 2, n_iter: int = 50):
     w[:n] = 1.0
     labels, centers = _kmeans_impl(jnp.asarray(xp), jnp.asarray(w), int(k), int(n_iter))
     return np.asarray(labels)[:n], np.asarray(centers)
+
+
+@partial(jax.jit, static_argnames=("k", "n_iter"))
+def _kmeans_many_impl(xs: jax.Array, ws: jax.Array, k: int, n_iter: int):
+    return jax.vmap(lambda x, w: _kmeans_impl(x, w, k, n_iter))(xs, ws)
+
+
+def kmeans_many(problems, k: int = 2, n_iter: int = 50):
+    """Solve MANY independent k-means problems in one device program.
+
+    problems: list of (n_i, d_i) float arrays. All are padded to a shared
+    (bucket, d_max) shape — zero-weight rows and all-zero feature columns
+    change no distance, so each solution equals its standalone `kmeans`
+    (modulo argmin ties). Returns [labels_i] aligned with the inputs.
+
+    One host->device transfer and ONE sync for the whole set: the per-mesh
+    split path cost 2 tunnel round-trips per clustering call (4 calls/knee
+    -> 64 round-trips for an 8-knee batch), which dominated the batched
+    thickness stage on the TPU tunnel."""
+    if not problems:
+        return []
+    arrs = [np.asarray(p, np.float32) for p in problems]
+    d = max(a.shape[1] for a in arrs)
+    nb = max(bucket_size(len(a)) for a in arrs)
+    xs = np.zeros((len(arrs), nb, d), np.float32)
+    ws = np.zeros((len(arrs), nb), np.float32)
+    for i, a in enumerate(arrs):
+        xs[i, : len(a), : a.shape[1]] = a
+        ws[i, : len(a)] = 1.0
+    labels, _ = _kmeans_many_impl(jnp.asarray(xs), jnp.asarray(ws), int(k), int(n_iter))
+    labels = np.asarray(labels)
+    return [labels[i, : len(a)] for i, a in enumerate(arrs)]

@@ -241,6 +241,25 @@ class TestBatchedThickness:
         np.testing.assert_allclose(joint[0].vertices, solo1.vertices, atol=1e-4)
         np.testing.assert_allclose(joint[1].vertices, solo2.vertices, atol=1e-4)
 
+    def test_split_meshes_matches_per_mesh(self):
+        """The batched split (one kmeans_many device program for every
+        tissue) must reproduce per-mesh split_mesh exactly — padding to the
+        shared bucket/feature width is arithmetic-neutral."""
+        from oai_analysis_2_tpu.mesh.split import _split_problems, split_meshes
+        from oai_analysis_2_tpu.ops.clustering import kmeans
+
+        vol1 = _ball_volume(24, r=8, center=(12, 12, 12))
+        vol2 = np.zeros((30, 30, 30), np.float32)
+        vol2[:, :, 12:16] = 1.0
+        meshes = [marching_tetrahedra(vol1, 0.5), marching_tetrahedra(vol2, 0.5)]
+        types = ["FC", "TC"]
+        batched = split_meshes(meshes, types)
+        for mesh, t, (bi, bo) in zip(meshes, types, batched):
+            problems, finish = _split_problems(mesh, t)
+            si, so = finish([kmeans(p, k=2)[0] for p in problems])
+            np.testing.assert_array_equal(bi.vertices, si.vertices)
+            np.testing.assert_array_equal(bo.faces, so.faces)
+
     def test_get_thickness_meshes_batch(self):
         from oai_analysis_2_tpu.mesh.processing import get_thickness_meshes
 
