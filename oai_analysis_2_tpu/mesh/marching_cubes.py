@@ -233,8 +233,10 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-def _extract_with_counts(vol, level: float, spacing, counts: np.ndarray) -> Mesh:
-    """Run the extract pass for one volume given its packed count/bbox row.
+def _extract_dispatch(vol, level: float, spacing, counts: np.ndarray):
+    """Dispatch the extract pass for one volume given its packed count/bbox
+    row; returns (verts_dev (n,3), faces_dev (m,3), anchor_offset_xyz) with
+    the device arrays still computing (no host sync), or None when empty.
 
     The heavy compaction (nonzero + full cumsum ranks) runs on a SLICE
     covering the active bounding box (padded to multiples of 64 lattice
@@ -249,7 +251,7 @@ def _extract_with_counts(vol, level: float, spacing, counts: np.ndarray) -> Mesh
     _, _, extract, slice_vol = _device_fns()
     n_verts, n_active, n_tris = (int(x) for x in counts[:3])
     if n_tris == 0:
-        return Mesh(np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32))
+        return None
     lo = [int(counts[3]), int(counts[5]), int(counts[7])]
     hi = [int(counts[4]), int(counts[6]), int(counts[8])]
     anchors, sizes = [], []
@@ -265,10 +267,17 @@ def _extract_with_counts(vol, level: float, spacing, counts: np.ndarray) -> Mesh
     tb = bucket_size(max(n_tris, 256))
     sp = jnp.asarray(np.asarray(spacing, np.float32))
     verts, faces, _ = extract(sub, jnp.float32(level), sp, vb, mb, tb)
-    verts_np = np.asarray(verts[:n_verts]) + (
-        np.asarray(anchors, np.float32) * np.asarray(spacing, np.float32)
-    )
-    return Mesh(verts_np, np.asarray(faces[:n_tris], np.int32))
+    offset = np.asarray(anchors, np.float32) * np.asarray(spacing, np.float32)
+    return verts[:n_verts], faces[:n_tris], offset
+
+
+def _extract_with_counts(vol, level: float, spacing, counts: np.ndarray) -> Mesh:
+    """Extract pass + host pull for one volume (single-volume path)."""
+    disp = _extract_dispatch(vol, level, spacing, counts)
+    if disp is None:
+        return Mesh(np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32))
+    verts, faces, offset = disp
+    return Mesh(np.asarray(verts) + offset, np.asarray(faces, np.int32))
 
 
 def _marching_cubes_device(vol, level: float, spacing) -> Mesh:
@@ -297,10 +306,31 @@ def marching_cubes_multi(volumes, level: float = 0.5, spacing=(1.0, 1.0, 1.0)):
     _, count_many, _, _ = _device_fns()
     stacked = jnp.stack([v.astype("float32") for v in volumes])
     counts = np.asarray(count_many(stacked, jnp.float32(level)))
-    return [
-        _extract_with_counts(v.astype("float32"), level, spacing, counts[i])
+    # dispatch every tissue's extract first, then pull ALL results in two
+    # packed transfers (verts + faces) — per-tissue np.asarray pulls cost a
+    # tunnel round-trip each and serialize the remaining extract compute
+    # behind them (2 pulls x 16 tissues for an 8-knee batch)
+    dispatched = [
+        _extract_dispatch(v.astype("float32"), level, spacing, counts[i])
         for i, v in enumerate(volumes)
     ]
+    live = [d for d in dispatched if d is not None]
+    packed_v = np.asarray(jnp.concatenate([v for v, _, _ in live])) if live else None
+    packed_f = np.asarray(jnp.concatenate([f for _, f, _ in live])) if live else None
+    out, vo, fo = [], 0, 0
+    for d in dispatched:
+        if d is None:
+            out.append(Mesh(np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)))
+            continue
+        verts, faces, offset = d
+        nv, nf = verts.shape[0], faces.shape[0]
+        out.append(
+            Mesh(packed_v[vo : vo + nv] + offset,
+                 np.asarray(packed_f[fo : fo + nf], np.int32))
+        )
+        vo += nv
+        fo += nf
+    return out
 
 
 def marching_cubes(

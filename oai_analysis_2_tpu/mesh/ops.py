@@ -270,6 +270,21 @@ def _sync_distance(pending, n_points: int) -> np.ndarray:
     return np.asarray(dev)[:n]
 
 
+def _sync_distances(pendings, n_points_list):
+    """Pull MANY pending distance results in ONE transfer: the per-array
+    pull costs a tunnel round-trip each (32 pulls for an 8-knee batch's
+    16 tissues x 2 directions); device-concatenating first makes it one."""
+    live = [(i, dev[:n]) for i, (dev, n) in enumerate(pendings) if n > 0]
+    out = [np.zeros(n, np.float32) for n in n_points_list]
+    if live:
+        packed = np.asarray(jnp.concatenate([d for _, d in live]))
+        off = 0
+        for i, d in live:
+            out[i] = packed[off : off + d.shape[0]]
+            off += d.shape[0]
+    return out
+
+
 def distance_to_surface(
     points: np.ndarray, target: Mesh, point_chunk: int = 2048, force_xla: bool = False
 ) -> np.ndarray:

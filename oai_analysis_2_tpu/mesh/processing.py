@@ -167,7 +167,7 @@ def get_thickness_meshes(
     # dispatch every distance kernel BEFORE pulling any result: each early
     # host sync is a tunnel round trip that serializes the remaining device
     # compute behind it (matters at 2 syncs/tissue x 2B tissues per batch)
-    from oai_analysis_2_tpu.mesh.ops import _sync_distance, distance_to_surface_async
+    from oai_analysis_2_tpu.mesh.ops import _sync_distances, distance_to_surface_async
     from oai_analysis_2_tpu.mesh.split import split_meshes
 
     # ONE batched clustering program for every tissue's split (kmeans_many):
@@ -182,11 +182,17 @@ def get_thickness_meshes(
                 distance_to_surface_async(outer.vertices, inner),
             )
         )
+    # ONE packed pull for every distance result (vs one round-trip each)
+    flat_pending = [p for _, _, d_in, d_out in pending for p in (d_in, d_out)]
+    flat_npts = [
+        n for inner, outer, _, _ in pending for n in (inner.n_points, outer.n_points)
+    ]
+    distances = _sync_distances(flat_pending, flat_npts)
     out = []
-    for inner, outer, d_in, d_out in pending:
+    for i, (inner, outer, _, _) in enumerate(pending):
         inner = inner.copy()
         outer = outer.copy()
-        inner.point_data = _sync_distance(d_in, inner.n_points)
-        outer.point_data = _sync_distance(d_out, outer.n_points)
+        inner.point_data = distances[2 * i]
+        outer.point_data = distances[2 * i + 1]
         out.append((inner, outer))
     return out
