@@ -100,6 +100,7 @@ def register_pair(
     finetune_steps: int = 0,
     finetune_scales: Tuple[int, ...] = (2,),
     finetune_lr: float = 0.15,
+    b_on_grid: Optional[jax.Array] = None,
 ) -> Tuple[DisplacementField, DisplacementField]:
     """Register two physical-space images; returns (phi_AB, phi_BA) as
     displacement fields. phi_AB warps A-grid data onto B's grid (it maps
@@ -110,12 +111,19 @@ def register_pair(
     With model+params: one trained-network forward pass (the reference's
     pretrained path, registration.py:20-27), optionally refined by
     `finetune_steps` of instance optimization per scale in `finetune_scales`
-    (icon_registration's finetune_steps equivalent)."""
+    (icon_registration's finetune_steps equivalent).
+
+    b_on_grid: image_b already resampled onto its registration grid —
+    ICON_Registration caches this for its fixed atlas so repeated
+    registrations (the cohort case) skip one full resample per knee."""
     cfg = config or GradICONConfig()
     grid_a = _net_grid_reference(image_a, cfg.grid_shape)
     grid_b = _net_grid_reference(image_b, cfg.grid_shape)
     a = resample_image(image_a, grid_a).data.astype(jnp.float32)
-    b = resample_image(image_b, grid_b).data.astype(jnp.float32)
+    if b_on_grid is not None:
+        b = b_on_grid
+    else:
+        b = resample_image(image_b, grid_b).data.astype(jnp.float32)
 
     if model is not None:
         if params is None:
@@ -233,6 +241,7 @@ class ICON_Registration:
                     stacklevel=2,
                 )
         self.mode = mode
+        self._moving_on_grid_cache: dict = {}
         if mode == "network":
             if not grid_ok:
                 raise ValueError(
@@ -294,6 +303,31 @@ class ICON_Registration:
             b = np.asarray(moving_image.data)
             print("fixed range", a.min(), a.max())
             print("moving range", b.min(), b.max())
+        # cache the moving (atlas) image resampled onto its registration grid
+        # — the atlas is fixed across a cohort, so every knee after the first
+        # skips one full-volume resample. Bounded: one entry per distinct
+        # moving geometry actually registered against (typically 1).
+        key = (
+            id(moving_image.data),  # safe: the cached entry pins the source
+            tuple(moving_image.data.shape),
+            np.asarray(moving_image.origin).tobytes(),
+            np.asarray(moving_image.spacing).tobytes(),
+            np.asarray(moving_image.direction).tobytes(),
+            tuple(self.config.grid_shape),
+        )
+        cached = self._moving_on_grid_cache.get(key)
+        if cached is None:
+            import jax.numpy as jnp
+
+            grid_b = _net_grid_reference(moving_image, self.config.grid_shape)
+            b_on_grid = resample_image(moving_image, grid_b).data.astype(jnp.float32)
+            if len(self._moving_on_grid_cache) >= 4:  # bound device residency
+                self._moving_on_grid_cache.clear()
+            # keep a strong ref to the SOURCE data: the id() in the key stays
+            # valid exactly as long as the entry lives
+            self._moving_on_grid_cache[key] = (moving_image.data, b_on_grid)
+        else:
+            _, b_on_grid = cached
         phi_ab, _ = register_pair(
             fixed_image,
             moving_image,
@@ -305,5 +339,6 @@ class ICON_Registration:
             finetune_steps=self.finetune_steps,
             finetune_scales=self.finetune_scales,
             finetune_lr=self.finetune_lr,
+            b_on_grid=b_on_grid,
         )
         return phi_ab
