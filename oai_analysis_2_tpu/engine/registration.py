@@ -17,6 +17,7 @@ B's (atlas) grid.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List, Optional, Tuple
 
 import jax
@@ -60,16 +61,64 @@ def _maps_to_displacement(
     phi_ba: jax.Array, grid_a: Image, grid_b: Image
 ) -> DisplacementField:
     """Turn the normalized map phi_BA (B-grid coords -> A-grid coords) into a
-    physical-space displacement field on B's registration grid."""
-    ident = identity_map(grid_b.data.shape)
-    p_b = _normalized_to_physical(grid_b, ident)
-    p_a = _normalized_to_physical(grid_a, phi_ba)
+    physical-space displacement field on B's registration grid. The
+    conversion is one jitted program per grid-geometry pair (eager op chains
+    cost a dispatch round-trip each on the TPU tunnel)."""
+
+    def meta(g: Image):
+        return (
+            tuple(g.data.shape),
+            np.asarray(g.origin, np.float32).tobytes(),
+            np.asarray(g.spacing, np.float32).tobytes(),
+            np.asarray(g.direction, np.float32).tobytes(),
+        )
+
+    conv = _displacement_converter(meta(grid_a), meta(grid_b))
     return DisplacementField(
-        field=(p_a - p_b).astype(jnp.float32),
+        field=conv(phi_ba),
         origin=grid_b.origin,
         spacing=grid_b.spacing,
         direction=grid_b.direction,
     )
+
+
+@functools.lru_cache(maxsize=16)
+def _displacement_converter(meta_a, meta_b):
+    """Jitted phi_BA -> physical displacement-field program for one
+    (grid_a, grid_b) geometry pair."""
+
+    def rebuild(meta):
+        shape, origin, spacing, direction = meta
+        return Image(
+            data=jnp.zeros(shape, jnp.float32),
+            origin=jnp.asarray(np.frombuffer(origin, np.float32).copy()),
+            spacing=jnp.asarray(np.frombuffer(spacing, np.float32).copy()),
+            direction=jnp.asarray(
+                np.frombuffer(direction, np.float32).reshape(3, 3).copy()
+            ),
+        )
+
+    grid_a, grid_b = rebuild(meta_a), rebuild(meta_b)
+    ident = _identity_np(grid_b.data.shape)
+
+    @jax.jit
+    def conv(phi_ba):
+        p_b = _normalized_to_physical(grid_b, jnp.asarray(ident))
+        p_a = _normalized_to_physical(grid_a, phi_ba)
+        return (p_a - p_b).astype(jnp.float32)
+
+    return conv
+
+
+def _identity_np(shape_zyx):
+    d, h, w = shape_zyx
+    z, y, x = np.meshgrid(
+        np.linspace(0.0, 1.0, d, dtype=np.float32),
+        np.linspace(0.0, 1.0, h, dtype=np.float32),
+        np.linspace(0.0, 1.0, w, dtype=np.float32),
+        indexing="ij",
+    )
+    return np.stack([z, y, x], axis=-1)
 
 
 def _jitted_both_maps(model: GradICON):
