@@ -114,7 +114,9 @@ def main():
     step = make_augmented_train_step(model, opt, sup_weight=sup_w, sim_weight=sim_w)
 
     print("generating phantom pool...", flush=True)
-    pool = make_phantom_pool(96, shape, seed=7)
+    pool = make_phantom_pool(
+        int(os.environ.get("GRADICON_POOL", "96")), shape, seed=7
+    )
     pool_dev = jnp.asarray(pool)
 
     # -- eval: known-deformation recovery ------------------------------------
