@@ -114,14 +114,26 @@ def build_pipeline():
     atlas_np = atlas_anatomy * 0.78 + rng.uniform(0.0, 0.22, shape)
     atlas = image_from_array(atlas_np.astype(np.float32), spacing=(0.36, 0.36, 0.7))
 
+    import os
+
+    # quick A/B knobs for on-chip tuning runs (defaults = production config)
+    reg_mode = os.environ.get("BENCH_REG_MODE", "auto")
+    inst_steps = tuple(
+        int(v) for v in os.environ.get("BENCH_INST_STEPS", "80,60,40").split(",")
+    )
+    ft_steps = int(os.environ.get("BENCH_FT_STEPS", "20"))
+    seg_batch = os.environ.get("BENCH_SEG_BATCH")
+    if seg_batch:
+        segmenter.config["batch_size"] = int(seg_batch)
+
     pipe = KneePipeline(
         segmenter,
         atlas,
         registration_config=None,  # adopt the shipped checkpoint's architecture
         instance_scales=(4, 2, 1),
-        instance_steps=(80, 60, 40),
-        registration_mode="auto",
-        finetune_steps=20,  # scale-2 refinement at lr 0.15 (ft sweep winner)
+        instance_steps=inst_steps,
+        registration_mode=reg_mode,
+        finetune_steps=ft_steps,  # scale-2 refinement at lr 0.15 (ft sweep winner)
         warp_dtype="bfloat16",  # validated <4e-3 probmap error (test_resample)
     )
 
