@@ -61,9 +61,8 @@ def main():
         i = argv.index("--network")
         if i + 1 < len(argv) and argv[i + 1].replace(",", "").isdigit():
             spec = argv.pop(i + 1)  # "20" or per-scale "10,10"
-            finetune = (
-                [int(v) for v in spec.split(",")] if "," in spec else int(spec)
-            )
+            parts = [v for v in spec.split(",") if v]
+            finetune = [int(v) for v in parts] if len(parts) > 1 else int(parts[0])
         argv.remove("--network")
     ft_scales = (2,)
     if "--ft-scales" in argv:
@@ -75,6 +74,11 @@ def main():
         i = argv.index("--ft-lr")
         ft_lr = float(argv[i + 1])
         del argv[i : i + 2]
+    if isinstance(finetune, list) and len(finetune) != len(ft_scales):
+        raise SystemExit(
+            f"--network gave {len(finetune)} per-scale step counts but "
+            f"--ft-scales has {len(ft_scales)} scales"
+        )
     inst_steps = (80, 60, 40)
     if "--inst-steps" in argv:
         i = argv.index("--inst-steps")

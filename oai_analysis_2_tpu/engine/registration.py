@@ -87,19 +87,22 @@ def _displacement_converter(meta_a, meta_b):
     """Jitted phi_BA -> physical displacement-field program for one
     (grid_a, grid_b) geometry pair."""
 
+    from oai_analysis_2_tpu.models.gradicon import _identity_map_np
+
     def rebuild(meta):
+        # numpy data stand-in: only .shape is read inside conv, and host
+        # constants are safe to capture in the cached jitted closure (a
+        # device buffer here would pin ~MBs per cache entry for nothing)
         shape, origin, spacing, direction = meta
         return Image(
-            data=jnp.zeros(shape, jnp.float32),
-            origin=jnp.asarray(np.frombuffer(origin, np.float32).copy()),
-            spacing=jnp.asarray(np.frombuffer(spacing, np.float32).copy()),
-            direction=jnp.asarray(
-                np.frombuffer(direction, np.float32).reshape(3, 3).copy()
-            ),
+            data=np.zeros(shape, np.float32),
+            origin=np.frombuffer(origin, np.float32).copy(),
+            spacing=np.frombuffer(spacing, np.float32).copy(),
+            direction=np.frombuffer(direction, np.float32).reshape(3, 3).copy(),
         )
 
     grid_a, grid_b = rebuild(meta_a), rebuild(meta_b)
-    ident = _identity_np(grid_b.data.shape)
+    ident = _identity_map_np(meta_b[0])
 
     @jax.jit
     def conv(phi_ba):
@@ -108,17 +111,6 @@ def _displacement_converter(meta_a, meta_b):
         return (p_a - p_b).astype(jnp.float32)
 
     return conv
-
-
-def _identity_np(shape_zyx):
-    d, h, w = shape_zyx
-    z, y, x = np.meshgrid(
-        np.linspace(0.0, 1.0, d, dtype=np.float32),
-        np.linspace(0.0, 1.0, h, dtype=np.float32),
-        np.linspace(0.0, 1.0, w, dtype=np.float32),
-        indexing="ij",
-    )
-    return np.stack([z, y, x], axis=-1)
 
 
 def _jitted_both_maps(model: GradICON):

@@ -124,25 +124,37 @@ class CohortManifest:
 
 
 def _host_info():
-    """(process_index, process_count) WITHOUT forcing backend init.
+    """(process_index, process_count) without hanging on device discovery.
 
-    jax.process_index() instantiates the platform client if none exists —
-    a worker that only orchestrates host-side work (or runs before the
-    device is reachable) would block on device discovery just to learn its
-    host id. Only consult jax when a backend is already up in this process
-    or jax.distributed was explicitly initialized; else default to (0, 1)
-    (callers pass host/n_hosts explicitly under external schedulers)."""
+    jax.process_index() instantiates the platform client if none exists.
+    Under the single-chip axon TPU tunnel that init BLOCKS INDEFINITELY when
+    the tunnel is degraded — and a single-chip tunnel is never multi-host —
+    so there we only consult jax when a backend is already up in this
+    process or jax.distributed was explicitly initialized. Everywhere else
+    (real TPU pods, CPU/GPU) the normal query runs so multi-host
+    auto-detection keeps working. The backend-up probe uses private jax
+    attributes; on drift it falls back to querying (never to a wrong
+    (0, 1))."""
+    import os
+
     try:
         import jax
-        from jax._src import distributed, xla_bridge
 
-        backend_up = bool(getattr(xla_bridge, "_backends", None))
-        distributed_up = getattr(distributed.global_state, "client", None) is not None
-        if backend_up or distributed_up:
-            return jax.process_index(), jax.process_count()
-    except Exception:  # noqa: BLE001 — private-API drift or init failure
-        pass
-    return 0, 1
+        if os.environ.get("PALLAS_AXON_POOL_IPS"):  # single-chip tunnel
+            try:
+                from jax._src import distributed, xla_bridge
+
+                backend_up = bool(getattr(xla_bridge, "_backends", None))
+                distributed_up = (
+                    getattr(distributed.global_state, "client", None) is not None
+                )
+            except Exception:  # noqa: BLE001 — private-API drift: query anyway
+                backend_up = distributed_up = True
+            if not (backend_up or distributed_up):
+                return 0, 1
+        return jax.process_index(), jax.process_count()
+    except Exception:  # noqa: BLE001
+        return 0, 1
 
 
 class CohortRunner:
@@ -318,10 +330,15 @@ class CohortRunner:
         def beat():
             while not stop.wait(self.claim_heartbeat):
                 for k in keys:
-                    st = self.manifest.items.get(k, {}).get("status")
-                    if st not in ("done", "failed"):  # still in flight
+                    rec = self.manifest.items.get(k, {})
+                    # refresh ONLY still-claimed keys: once an item lands
+                    # done/retry/failed, a beat must not overwrite its record
+                    # (a claim with stale attempts would reset the retry
+                    # counter and mask the recorded error)
+                    if rec.get("status") == "claim":
                         self.manifest.mark(
-                            k, "claim", claim_host=self.host, attempts=attempts[k]
+                            k, "claim", claim_host=self.host,
+                            attempts=max(attempts[k], rec.get("attempts", 0)),
                         )
 
         t = threading.Thread(target=beat, daemon=True)
@@ -428,10 +445,10 @@ class CohortRunner:
                     key, "claim", claim_host=self.host,
                     attempts=self.manifest.items.get(key, {}).get("attempts", 0),
                 )
-                claim_t = self.manifest.items[key]["time"]
-                time.sleep(self.claim_settle)
-                self.manifest.reload()
-                contenders = []
+                if self.n_hosts > 1:  # no contender can exist single-host
+                    time.sleep(self.claim_settle)
+                    self.manifest.reload()
+                contenders: List[Tuple[float, int]] = []
                 rec2 = self.manifest.items.get(key)
                 if rec2 is not None and self._is_finished(rec2):
                     continue  # someone finished it in the window
@@ -441,7 +458,12 @@ class CohortRunner:
                         contenders.append(
                             (shard_rec.get("time", 0), shard_rec.get("claim_host", -1))
                         )
-                if contenders and min(contenders) != (claim_t, self.host):
+                # winner = host of the EARLIEST fresh claim. Compare by host,
+                # not by exact (time, host) record: our own earlier claims
+                # (a previous attempt's stake, a heartbeat) must count FOR us
+                # — matching the exact record livelocked retries forever (the
+                # retried item's old fresh claim always outranked the new one)
+                if contenders and min(contenders)[1] != self.host:
                     waiting = True
                     continue
                 pending.append(key)

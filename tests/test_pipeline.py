@@ -404,6 +404,34 @@ class TestDynamicCohort:
         assert summary.get("done") == 1
         assert runs["h0"] == ["slow"] and runs["h1"] == []  # never stolen
 
+    def test_failed_item_retries_and_terminates(self, tmp_path):
+        """A transiently-failing item must be retried up to max_retries and
+        the run must TERMINATE. Regression: the claim-winner check compared
+        the exact (time, host) record, so the host's own earlier fresh claim
+        always outranked its re-claim and the retry loop spun forever."""
+        from oai_analysis_2_tpu.parallel.cohort import CohortRunner
+
+        calls = {"flaky": 0, "good": 0, "poison": 0}
+
+        def pipe(item):
+            calls[item] += 1
+            if item == "poison" or (item == "flaky" and calls[item] == 1):
+                raise RuntimeError("transient")
+            return {"ok": item}
+
+        runner = CohortRunner(
+            pipe, manifest_path=tmp_path / "m.json", verbose=False,
+            max_retries=1, claim_ttl=60.0, claim_settle=0.01,
+            poll_seconds=0.02, claim_heartbeat=0,
+        )
+        summary = runner.run(["flaky", "good", "poison"], keys=None)
+        # flaky: fail once then succeed; poison: exhausted after 2 attempts
+        assert calls["flaky"] == 2 and calls["poison"] == 2
+        assert summary.get("done") == 2 and summary.get("failed") == 1
+        rec = runner.manifest.items["poison"]
+        assert rec["status"] == "failed" and rec["attempts"] == 2
+        assert "transient" in rec["error"]
+
     def test_terminal_record_beats_later_claim(self, tmp_path):
         """Merge rule: a done record wins over a LATER claim record (a
         heartbeat racing the item's completion must not mask it)."""
