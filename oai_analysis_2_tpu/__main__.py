@@ -28,6 +28,19 @@ def main(argv=None):
     p.add_argument("directory", type=Path)
     p.add_argument("-o", "--output", type=Path, default=Path("cohort_output"))
 
+    for name in ("pipeline", "cohort"):
+        sp = sub.choices[name]
+        sp.add_argument(
+            "--registration-mode", default="auto",
+            choices=("auto", "network", "instance"),
+            help="auto: shipped GradICON net when present (fast); "
+            "instance: per-pair optimization (most accurate, no weights)",
+        )
+        sp.add_argument(
+            "--finetune-steps", type=int, default=20,
+            help="per-pair refinement steps on top of the network prediction",
+        )
+
     sub.add_parser("bench")
 
     args = parser.parse_args(argv)
@@ -53,7 +66,11 @@ def main(argv=None):
     elif args.cmd == "pipeline":
         from oai_analysis_2_tpu.engine.pipeline import KneePipeline
 
-        pipe = KneePipeline(obj.segmenter, obj.atlas_image)
+        pipe = KneePipeline(
+            obj.segmenter, obj.atlas_image,
+            registration_mode=args.registration_mode,
+            finetune_steps=args.finetune_steps,
+        )
         meta = pipe.run_path(args.image, output_dir=args.output)
         print(meta)
     elif args.cmd == "cohort":
@@ -61,7 +78,11 @@ def main(argv=None):
         from oai_analysis_2_tpu.parallel.cohort import CohortRunner
 
         volumes = sorted(args.directory.glob("*.nii.gz"))
-        pipe = KneePipeline(obj.segmenter, obj.atlas_image)
+        pipe = KneePipeline(
+            obj.segmenter, obj.atlas_image,
+            registration_mode=args.registration_mode,
+            finetune_steps=args.finetune_steps,
+        )
         runner = CohortRunner(
             lambda p: pipe.run_path(p, output_dir=args.output),
             manifest_path=args.output / "manifest.json",
