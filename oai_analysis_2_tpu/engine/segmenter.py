@@ -82,83 +82,14 @@ class Segmenter3DInPatchClassWise(Segmenter):
 
     def volume_fn(self, volume_shape: Tuple[int, int, int], batch_size: int, threshold: bool):
         """The PURE (params, volume) -> (C, D, H, W) probmaps function for a
-        static volume shape. Unjitted so callers can compose it: the
-        single-knee path jits it directly (`_segment_fn`), the multi-chip
-        batch pipeline vmaps it over a knee batch (parallel/batch.py).
-
-        STREAMING design: tiles are dynamic-sliced out of the padded volume
-        inside the scan step and each step's central regions are scattered
-        straight into the output canvas carried through the scan. Live HBM
-        per knee is one padded volume + one tile batch + the canvas
-        (~0.4 GB at production scale) instead of the full tile array + all
-        probabilities (~11 GB) — materializing those made a 2-knee batch
-        spill HBM on a 16 GB chip (measured 3x slowdown)."""
-        partition = self.partition
-        model = self.model
-        n_classes = model.spec.n_classes
-        eff = partition.effective_size
-        ov = partition.overlap_size
-        tz, ty, tx = partition.tile_size
-        grid = partition.grid_shape(volume_shape)
-        n_tiles = partition.num_tiles(volume_shape)
-        n_batches = math.ceil(n_tiles / batch_size)
-        n_padded = n_batches * batch_size
-        crop = tuple(self.config.get("overlap_size", (16, 16, 8)))
-        padded_total = tuple(e * g + 2 * o for e, g, o in zip(eff, grid, ov))
-        pad_width = tuple(
-            (o, pt - s - o) for o, pt, s in zip(ov, padded_total, volume_shape)
-        )
-
-        # static tile-start table (z-major, matching Partition order); padding
-        # slots repeat tile 0 — they rewrite its canvas region with identical
-        # values, so the result is unchanged
-        starts = [
-            (i * eff[0], j * eff[1], k * eff[2])
-            for i in range(grid[0])
-            for j in range(grid[1])
-            for k in range(grid[2])
-        ]
-        starts += [starts[0]] * (n_padded - n_tiles)
-        starts_arr = np.asarray(starts, np.int32).reshape(n_batches, batch_size, 3)
+        static volume shape. Unjitted so callers can compose it; the
+        single-knee path jits it directly (`_segment_fn`). Delegates to
+        `volume_fn_batched` with a 1-knee batch — identical layout and math,
+        one builder to maintain."""
+        run_b = self.volume_fn_batched(1, volume_shape, batch_size, threshold)
 
         def run(params, volume):
-            padded = jnp.pad(volume, pad_width, mode=partition.padding_mode)
-            canvas0 = jnp.zeros(
-                (n_classes,) + tuple(g * e for g, e in zip(grid, eff)), jnp.float32
-            )
-            step_starts = jnp.asarray(starts_arr)
-
-            def step(canvas, batch_starts):
-                tiles = jax.vmap(
-                    lambda s: jax.lax.dynamic_slice(padded, (s[0], s[1], s[2]), (tz, ty, tx))
-                )(batch_starts)
-                probs = jax.nn.sigmoid(model.apply(params, tiles[..., None]))
-                if threshold:
-                    probs = (probs > 0.5).astype(jnp.float32)
-                central = probs[
-                    :, ov[0] : tz - ov[0], ov[1] : ty - ov[1], ov[2] : tx - ov[2], :
-                ].astype(jnp.float32)
-                for b in range(batch_size):  # static unroll: bs scatter writes
-                    canvas = jax.lax.dynamic_update_slice(
-                        canvas,
-                        jnp.moveaxis(central[b], -1, 0),
-                        (0, batch_starts[b, 0], batch_starts[b, 1], batch_starts[b, 2]),
-                    )
-                return canvas, None
-
-            canvas, _ = jax.lax.scan(step, canvas0, step_starts)
-            out = canvas[:, : volume_shape[0], : volume_shape[1], : volume_shape[2]]
-            if crop is not None:
-                # reference margin quirk: (cx, cy, cz) -> (cz, cx, cy) on (z, y, x)
-                cz, cy_, cx_ = int(crop[2]), int(crop[0]), int(crop[1])
-                mask = jnp.zeros(volume_shape, out.dtype)
-                mask = mask.at[
-                    cz : volume_shape[0] - cz,
-                    cy_ : volume_shape[1] - cy_,
-                    cx_ : volume_shape[2] - cx_,
-                ].set(1)
-                out = out * mask[None]
-            return out  # (C, D, H, W)
+            return run_b(params, volume[None])[0]
 
         return run
 
@@ -176,13 +107,19 @@ class Segmenter3DInPatchClassWise(Segmenter):
         """(params, volumes (B,D,H,W)) -> (B,C,D,H,W), NATIVELY batched.
 
         Each scan step dynamic-slices one tile batch from EVERY knee and
-        runs the UNet once on a (B*batch_size) conv batch — the exact
-        layout of the single-knee program, just a bigger leading dim.
-        vmapping the whole per-knee program instead let XLA re-lay-out the
-        convs (measured 1.7-2.4x slower per knee at production scale); with
-        the knee axis as a plain conv batch dim, per-knee cost matches the
-        single path and the dim shards cleanly over a device mesh (each
-        chip convolves its own knees' tiles every step)."""
+        runs the UNet once on a (B*batch_size) conv batch — the knee axis
+        is a plain conv batch dim, NOT a vmap (vmapping the per-knee program
+        let XLA re-lay-out the convs: measured 1.7-2.4x slower per knee at
+        production scale), and the dim shards cleanly over a device mesh
+        (each chip convolves its own knees' tiles every step).
+
+        STREAMING design: tiles are dynamic-sliced out of the padded volumes
+        inside the scan step and each step's central regions are scattered
+        straight into the output canvas carried through the scan. Live HBM
+        per knee is one padded volume + one tile batch + the canvas
+        (~0.4 GB at production scale) instead of the full tile array + all
+        probabilities (~11 GB) — materializing those made a 2-knee batch
+        spill HBM on a 16 GB chip (measured 3x slowdown)."""
         partition = self.partition
         model = self.model
         n_classes = model.spec.n_classes

@@ -151,12 +151,6 @@ def _device_fns():
 
     count = jax.jit(_count_one)
 
-    @jax.jit
-    def count_many(vols, level):
-        """Batched counts for several same-shape volumes — one host sync for
-        the whole tissue set (get_thickness_meshes extracts FC+TC together)."""
-        return jax.vmap(lambda v: _count_one(v, level))(vols)
-
     @functools.partial(jax.jit, static_argnames=("vb", "mb", "tb"))
     def extract(vol, level, spacing, vb: int, mb: int, tb: int):
         nx, ny, nz = vol.shape
@@ -226,7 +220,7 @@ def _device_fns():
     def slice_vol(vol, ax, ay, az, sx: int, sy: int, sz: int):
         return jax.lax.dynamic_slice(vol, (ax, ay, az), (sx, sy, sz))
 
-    return count, count_many, extract, slice_vol
+    return count, extract, slice_vol
 
 
 def _round_up(n: int, m: int) -> int:
@@ -248,7 +242,7 @@ def _extract_dispatch(vol, level: float, spacing, counts: np.ndarray):
 
     from oai_analysis_2_tpu.ops.bucketing import bucket_size
 
-    _, _, extract, slice_vol = _device_fns()
+    _, extract, slice_vol = _device_fns()
     n_verts, n_active, n_tris = (int(x) for x in counts[:3])
     if n_tris == 0:
         return None
@@ -283,7 +277,7 @@ def _extract_with_counts(vol, level: float, spacing, counts: np.ndarray) -> Mesh
 def _marching_cubes_device(vol, level: float, spacing) -> Mesh:
     import jax.numpy as jnp
 
-    count, _, _, _ = _device_fns()
+    count, _, _ = _device_fns()
     counts = np.asarray(count(vol, jnp.float32(level)))
     return _extract_with_counts(vol, level, spacing, counts)
 
@@ -303,16 +297,20 @@ def marching_cubes_multi(volumes, level: float = 0.5, spacing=(1.0, 1.0, 1.0)):
     )
     if not on_device or min(volumes[0].shape) < 2:
         return [marching_cubes(v, level, spacing) for v in volumes]
-    _, count_many, _, _ = _device_fns()
-    stacked = jnp.stack([v.astype("float32") for v in volumes])
-    counts = np.asarray(count_many(stacked, jnp.float32(level)))
+    count, _, _ = _device_fns()
+    vols32 = [v.astype("float32") for v in volumes]
+    # per-volume count dispatch + ONE packed pull of the (T, 9) scalar rows:
+    # stacking the volumes themselves for a batched count doubled the tissue
+    # set's HBM footprint (~1.5 GB extra at B=8) right when run_batches
+    # overlaps the next batch's device stages
+    counts = np.asarray(jnp.stack([count(v, jnp.float32(level)) for v in vols32]))
     # dispatch every tissue's extract first, then pull ALL results in two
     # packed transfers (verts + faces) — per-tissue np.asarray pulls cost a
     # tunnel round-trip each and serialize the remaining extract compute
     # behind them (2 pulls x 16 tissues for an 8-knee batch)
     dispatched = [
-        _extract_dispatch(v.astype("float32"), level, spacing, counts[i])
-        for i, v in enumerate(volumes)
+        _extract_dispatch(v, level, spacing, counts[i])
+        for i, v in enumerate(vols32)
     ]
     live = [d for d in dispatched if d is not None]
     packed_v = np.asarray(jnp.concatenate([v for v, _, _ in live])) if live else None

@@ -345,20 +345,27 @@ def make_gradicon_train_step(model: GradICON, optimizer):
 # ---------------------------------------------------------------------------
 
 
+# Empirically-tuned instance-optimization defaults, shared with the batch
+# pipeline's trace-composable re-implementation (parallel/batch.py) so the
+# two paths cannot silently drift.
+INSTANCE_DEFAULT_LR = 1.2  # voxels of the current scale per Adam step
+INSTANCE_DEFAULT_SIMILARITY = "lncc+mse"
+
+
 def register_pair_instance(
     a: jax.Array,
     b: jax.Array,
     scales: Sequence[int] = (8, 4, 2),
     steps_per_scale=60,  # int, or one count per scale (finer scales cost
     # ~8x more per step — front-load the coarse scales)
-    lr: float = 1.2,  # in VOXELS of the current scale per Adam step (Adam
+    lr: float = INSTANCE_DEFAULT_LR,  # in VOXELS of the current scale per Adam step (Adam
     # normalizes gradients, so the step size ~ lr); converted per scale to
     # normalized-coordinate units — a fixed normalized lr would take steps
     # proportional to the physical volume size, diverging on large grids
     lncc_window: int = 5,
     lambda_reg: float = 0.5,
     diffusion_weight: float = 0.3,
-    similarity: str = "lncc+mse",
+    similarity: str = INSTANCE_DEFAULT_SIMILARITY,
     verbose: bool = False,
     init_ab: jax.Array = None,
     init_ba: jax.Array = None,

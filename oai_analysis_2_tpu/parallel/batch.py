@@ -37,6 +37,8 @@ from oai_analysis_2_tpu.engine.registration import (
 from oai_analysis_2_tpu.engine.segmenter import Segmenter3DInPatchClassWise
 from oai_analysis_2_tpu.models.gradicon import (
     GradICONConfig,
+    INSTANCE_DEFAULT_LR,
+    INSTANCE_DEFAULT_SIMILARITY,
     _scale_run_fn,
     downsample2x,
     identity_map,
@@ -147,6 +149,12 @@ class BatchKneePipeline:
         model = self.registerer.model
 
         if mode == "network":
+            if self.registerer.params is None:
+                raise ValueError(
+                    "network-mode batch registration without weights: call "
+                    "registerer.load_params() or ship weights/gradicon.npz "
+                    "(same guard as engine.registration.register_pair)"
+                )
             scales = self.finetune_scales if self.finetune_steps else ()
             steps = [self.finetune_steps] * len(scales)
             lr = self.finetune_lr
@@ -157,7 +165,7 @@ class BatchKneePipeline:
                 if isinstance(self.instance_steps, int)
                 else list(self.instance_steps)
             )
-            lr = 1.2  # voxels/step — register_pair_instance's default
+            lr = INSTANCE_DEFAULT_LR
 
         def register_one(reg_params, a, b):
             if mode == "network":
@@ -172,7 +180,7 @@ class BatchKneePipeline:
                     int(n_steps),
                     float(lr),
                     int(cfg.lncc_window),
-                    "lncc+mse",
+                    INSTANCE_DEFAULT_SIMILARITY,
                     float(self.lambda_reg),
                     float(self.diffusion_weight),
                 )
@@ -201,7 +209,6 @@ class BatchKneePipeline:
         seg_fn = seg.volume_fn_batched(
             n_knees, vol_shape, int(seg.config.get("batch_size", 4)), threshold=False
         )
-        n_classes = seg.model.spec.n_classes
 
         # shared geometry, computed once on host at build time ------------------
         grid_a = _net_grid_reference(template, cfg.grid_shape)
@@ -335,7 +342,14 @@ class BatchKneePipeline:
         `run_batches` overlap batch k's host-side mesh bookkeeping with
         batch k+1's device compute."""
         if not images:
-            return jnp.zeros((0,)), jnp.zeros((0,))
+            # correctly-RANKED empties per the documented output contract
+            if not self.segmenter.ready:
+                self.segmenter.pred_setup()
+            c = self.segmenter.model.spec.n_classes
+            return (
+                jnp.zeros((0,) + tuple(self.atlas.data.shape) + (c,)),
+                jnp.zeros((0,) + tuple(self.reg_config.grid_shape) + (3,)),
+            )
         chunk = self.max_batch_per_device * self.n_devices
         if len(images) > chunk:
             outs = [
