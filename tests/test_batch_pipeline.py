@@ -193,6 +193,35 @@ class TestBatchMatchesSingle:
         with pytest.raises(ValueError, match="geometr"):
             bpipe.run_device_batch([knees[0], other])
 
+    def test_empty_batch_contract(self, seg_config, volumes):
+        """run_device_batch([]) returns correctly-RANKED empties (B=0 with
+        the documented (B,Da,Ha,Wa,C) / (B,gz,gy,gx,3) shapes) and
+        run_batch([]) returns []."""
+        knees, atlas = volumes
+        seg = Segmenter3DInPatchClassWise(mode="pred", config=dict(seg_config))
+        bpipe = BatchKneePipeline(
+            seg, atlas, registration_config=REG_CFG, registration_mode="instance",
+            instance_scales=(2, 1), instance_steps=(1, 1),
+        )
+        warped, disp = bpipe.run_device_batch([])
+        assert warped.shape == (0,) + tuple(atlas.data.shape) + (2,)
+        assert disp.shape == (0,) + tuple(REG_CFG.grid_shape) + (3,)
+        assert bpipe.run_batch([]) == []
+
+    def test_network_mode_without_weights_raises(self, seg_config, volumes):
+        """Forced network mode with no loaded weights must fail with the
+        explicit guard, not a trace-time TypeError inside the jitted
+        program (the round-1 silent-fallback footgun, batch edition)."""
+        knees, atlas = volumes
+        seg = Segmenter3DInPatchClassWise(mode="pred", config=dict(seg_config))
+        bpipe = BatchKneePipeline(
+            seg, atlas, registration_config=REG_CFG, registration_mode="network",
+            finetune_steps=0,
+        )
+        bpipe.registerer.params = None  # no shipped weights scenario
+        with pytest.raises(ValueError, match="without weights"):
+            bpipe.run_device_batch([knees[0]])
+
     def test_run_batch_thickness(self, seg_config, volumes):
         """run_batch returns KneeResults with meshes from the warped maps."""
         knees, atlas = volumes
