@@ -84,7 +84,10 @@ def main(argv=None):
             finetune_steps=args.finetune_steps,
         )
         runner = CohortRunner(
-            lambda p: pipe.run_path(p, output_dir=args.output),
+            # prepare= decodes the NEXT knee's NIfTI on a background thread
+            # while the current knee computes (double-buffered host feed)
+            lambda pv: pipe.run_path(pv[0], output_dir=args.output, image=pv[1]),
+            prepare=lambda p: (p, read_nifti(p)),
             manifest_path=args.output / "manifest.json",
         )
         print(runner.run(volumes, keys=[v.name for v in volumes]))

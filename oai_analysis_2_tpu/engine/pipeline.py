@@ -135,10 +135,14 @@ class KneePipeline:
             timings=timer.report(),
         )
 
-    def run_path(self, nifti_path, output_dir: Optional[Path] = None) -> dict:
+    def run_path(
+        self, nifti_path, output_dir: Optional[Path] = None, image: Optional[Image] = None
+    ) -> dict:
         """Cohort-runner-compatible wrapper: reads a NIfTI file, writes mesh
-        results, returns JSON-serializable metadata."""
-        image = read_nifti(nifti_path)
+        results, returns JSON-serializable metadata. Pass `image` to skip
+        the read (e.g. a CohortRunner `prepare=read_nifti` prefetch already
+        decoded it while the previous knee computed)."""
+        image = read_nifti(nifti_path) if image is None else image
         result = self.run(image)
         meta = {
             "input": str(nifti_path),

@@ -180,6 +180,8 @@ class CohortRunner:
         poll_seconds: float = 2.0,
         batch_pipeline: Optional[Callable[[List[Any]], List[dict]]] = None,
         batch_size: int = 1,
+        prepare: Optional[Callable[[Any], Any]] = None,
+        prefetch_depth: int = 2,
     ):
         """host / n_hosts override jax.distributed's process index/count —
         for external schedulers (SLURM array jobs) and tests.
@@ -213,6 +215,14 @@ class CohortRunner:
         item, in order. claim_ttl must exceed the worst-case BATCH wall
         time (claims are staked while the batch accumulates). `pipeline`
         stays the single-item fallback for retries of partial batches.
+
+        prepare + prefetch_depth: host-side input preparation (NIfTI/zarr
+        read + decode) run on a background thread up to `prefetch_depth`
+        items AHEAD of execution, so decoding knee k+1 overlaps knee k's
+        device compute — the double-buffered host->device feed (SURVEY §7;
+        Dask gets this from worker thread pools). The pipeline then
+        receives prepare(item) instead of item. Speculative prefetches of
+        items another host claims first cost only a wasted read.
         """
         auto_host, auto_n = _host_info()
         self.host = auto_host if host is None else host
@@ -232,6 +242,9 @@ class CohortRunner:
         self.poll_seconds = poll_seconds
         self.batch_pipeline = batch_pipeline
         self.batch_size = max(int(batch_size), 1)
+        self.prepare = prepare
+        self.prefetch_depth = max(int(prefetch_depth), 1)
+        self._prefetched: Dict[str, Any] = {}  # key -> Future
         if self.batch_size > 1 and batch_pipeline is None:
             raise ValueError("batch_size > 1 requires a batch_pipeline")
 
@@ -266,7 +279,7 @@ class CohortRunner:
         attempts = self.manifest.items.get(key, {}).get("attempts", 0)
         t0 = time.time()
         try:
-            result = self.pipeline(item)
+            result = self.pipeline(self._take_prepared(key, item))
             self.manifest.mark(
                 key, "done", seconds=time.time() - t0, attempts=attempts + 1,
                 result=result,
@@ -312,6 +325,45 @@ class CohortRunner:
         return summary
 
     # -- scheduling loops ---------------------------------------------------------
+
+    # -- input prefetch (double-buffered host feed) --------------------------------
+
+    def _pump_prefetch(self) -> None:
+        """Submit prepare() for upcoming candidates until `prefetch_depth`
+        are outstanding. Bounded: at most prefetch_depth decoded items live."""
+        if self.prepare is None:
+            return
+        if getattr(self, "_prefetch_pool", None) is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._prefetch_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="cohort-prefetch"
+            )
+        queue = getattr(self, "_prefetch_queue", [])
+        while queue and len(self._prefetched) < self.prefetch_depth:
+            key, item = queue.pop(0)
+            if key not in self._prefetched:
+                self._prefetched[key] = self._prefetch_pool.submit(self.prepare, item)
+
+    def _set_prefetch_queue(self, candidates) -> None:
+        """Replace the upcoming-candidate list ((key, item) pairs, in
+        expected execution order) and top up the in-flight prefetches."""
+        if self.prepare is None:
+            return
+        self._prefetch_queue = [
+            (k, it) for k, it in candidates if k not in self._prefetched
+        ]
+        self._pump_prefetch()
+
+    def _take_prepared(self, key: str, item: Any) -> Any:
+        """The prepared value for `key`: a finished/running prefetch if one
+        exists, else prepare() inline. Errors surface here, inside the
+        caller's failure-isolation try."""
+        if self.prepare is None:
+            return item
+        fut = self._prefetched.pop(key, None)
+        self._pump_prefetch()  # keep the lookahead full while we wait
+        return fut.result() if fut is not None else self.prepare(item)
 
     def _heartbeat_claims(self, keys: Sequence[str]):
         """Daemon thread re-appending fresh claim records for in-flight keys
@@ -370,7 +422,8 @@ class CohortRunner:
             k: self.manifest.items.get(k, {}).get("attempts", 0) for k in keys
         }
         try:
-            results = self.batch_pipeline(list(items))
+            prepared = [self._take_prepared(k, it) for k, it in zip(keys, items)]
+            results = self.batch_pipeline(prepared)
             per = (time.time() - t0) / len(keys)
             for k, res in zip(keys, results):
                 self.manifest.mark(
@@ -385,7 +438,7 @@ class CohortRunner:
                 self._run_item(k, it)
 
     def _run_static(self, keys, items) -> None:
-        pending: List[Tuple[str, Any]] = []
+        todo: List[Tuple[str, Any]] = []
         for idx, (key, item) in enumerate(zip(keys, items)):
             if idx % self.n_hosts != self.host:
                 continue
@@ -393,6 +446,11 @@ class CohortRunner:
                 if self.verbose:
                     print(f"[cohort] skip (done): {key}")
                 continue
+            todo.append((key, item))
+        # deterministic order: prefetch-decode ahead of execution
+        self._set_prefetch_queue(list(todo))
+        pending: List[Tuple[str, Any]] = []
+        for key, item in todo:
             pending.append((key, item))
             if len(pending) >= self.batch_size:
                 self._run_batch_items(*map(list, zip(*pending)))
@@ -413,6 +471,22 @@ class CohortRunner:
         by_key = dict(zip(keys, items))
         while True:
             self.manifest.reload()
+            if self.prepare is not None:
+                # drop prefetches for items finished elsewhere; top up with
+                # the currently-runnable candidates in execution order
+                for k in list(self._prefetched):
+                    if self._is_finished(self.manifest.items.get(k)):
+                        self._prefetched.pop(k, None)
+                self._set_prefetch_queue(
+                    (k, by_key[k])
+                    for k in keys
+                    if not self._is_finished(self.manifest.items.get(k))
+                    and not (
+                        self._is_fresh_claim(self.manifest.items.get(k))
+                        and self.manifest.items.get(k, {}).get("claim_host")
+                        != self.host
+                    )
+                )
             progress = False
             waiting = False
             pending: List[str] = []
@@ -501,10 +575,17 @@ class CohortRunner:
     def run(self, items: Sequence[Any], keys: Optional[Sequence[str]] = None) -> dict:
         keys = list(keys) if keys is not None else [str(i) for i in items]
         t0 = time.time()
-        if self.scheduling == "static":
-            self._run_static(keys, items)
-        else:
-            self._run_dynamic(keys, items)
+        try:
+            if self.scheduling == "static":
+                self._run_static(keys, items)
+            else:
+                self._run_dynamic(keys, items)
+        finally:
+            self._prefetched.clear()
+            pool = getattr(self, "_prefetch_pool", None)
+            if pool is not None:
+                pool.shutdown(wait=False)
+                self._prefetch_pool = None
         # pick up every host's records before summarizing
         self.manifest.reload()
         summary = self._write_summary(keys, time.time() - t0)

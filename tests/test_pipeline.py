@@ -432,6 +432,40 @@ class TestDynamicCohort:
         assert rec["status"] == "failed" and rec["attempts"] == 2
         assert "transient" in rec["error"]
 
+    def test_prepare_prefetch_overlaps_and_feeds_pipeline(self, tmp_path):
+        """With prepare= set, the pipeline receives prepared values, every
+        item is prepared (ahead when possible), and prepare failures are
+        isolated per item like pipeline failures."""
+        import threading
+
+        from oai_analysis_2_tpu.parallel.cohort import CohortRunner
+
+        prepared, got = [], []
+        prep_thread_ids = []
+
+        def prepare(item):
+            prep_thread_ids.append(threading.get_ident())
+            if item == "badread":
+                raise IOError("corrupt volume")
+            prepared.append(item)
+            return f"decoded:{item}"
+
+        def pipe(value):
+            got.append(value)
+            return {"v": value}
+
+        runner = CohortRunner(
+            pipe, manifest_path=tmp_path / "m.json", verbose=False,
+            prepare=prepare, prefetch_depth=2, max_retries=0,
+            claim_settle=0.0,
+        )
+        summary = runner.run(["a", "b", "badread", "c"])
+        assert summary.get("done") == 3 and summary.get("failed") == 1
+        assert got == ["decoded:a", "decoded:b", "decoded:c"]
+        assert "corrupt volume" in runner.manifest.items["badread"]["error"]
+        # prefetch ran off the main thread for at least some items
+        assert any(t != threading.get_ident() for t in prep_thread_ids)
+
     def test_terminal_record_beats_later_claim(self, tmp_path):
         """Merge rule: a done record wins over a LATER claim record (a
         heartbeat racing the item's completion must not mask it)."""
