@@ -466,6 +466,26 @@ class TestDynamicCohort:
         # prefetch ran off the main thread for at least some items
         assert any(t != threading.get_ident() for t in prep_thread_ids)
 
+    def test_prepare_with_batch_pipeline(self, tmp_path):
+        """prepare= composes with batch_pipeline: batches receive prepared
+        values, in claim order."""
+        from oai_analysis_2_tpu.parallel.cohort import CohortRunner
+
+        batches = []
+
+        def batch_pipe(items):
+            batches.append(list(items))
+            return [{"v": it} for it in items]
+
+        runner = CohortRunner(
+            lambda it: {"v": it}, manifest_path=tmp_path / "m.json",
+            verbose=False, prepare=lambda p: f"img:{p}", prefetch_depth=2,
+            batch_pipeline=batch_pipe, batch_size=2, claim_settle=0.0,
+        )
+        summary = runner.run(["a", "b", "c", "d"])
+        assert summary == {"done": 4}
+        assert batches == [["img:a", "img:b"], ["img:c", "img:d"]]
+
     def test_terminal_record_beats_later_claim(self, tmp_path):
         """Merge rule: a done record wins over a LATER claim record (a
         heartbeat racing the item's completion must not mask it)."""
