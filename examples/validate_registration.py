@@ -89,6 +89,11 @@ def main():
         i = argv.index("--inst-scales")
         inst_scales = tuple(int(v) for v in argv[i + 1].split(","))
         del argv[i : i + 2]
+    gicon_grad = None  # None = package default (INSTANCE_DEFAULT_GICON_GRAD)
+    if "--gicon-grad" in argv:
+        i = argv.index("--gicon-grad")
+        gicon_grad = argv[i + 1]
+        del argv[i : i + 2]
     weights_path = None
     if "--weights" in argv:
         i = argv.index("--weights")
@@ -153,12 +158,14 @@ def main():
             fixed, moving, model=GradICON(cfg), params=params,
             config=cfg, finetune_steps=finetune,
             finetune_scales=ft_scales, finetune_lr=ft_lr,
+            gicon_grad=gicon_grad,
         )
     else:
         cfg = GradICONConfig(grid_shape=net_grid) if net_grid else GradICONConfig()
         phi_ab, _ = register_pair(
             fixed, moving, config=cfg,
             instance_scales=inst_scales, instance_steps=inst_steps,
+            gicon_grad=gicon_grad,
         )
     jax.block_until_ready(phi_ab.field)
     dt = time.time() - t0
@@ -178,7 +185,7 @@ def main():
         f"network+ft{finetune}@scales{ft_scales}lr{ft_lr}"
         if use_network
         else "instance"
-    )
+    ) + (f"+gicon:{gicon_grad}" if gicon_grad else "")
     print(f"vol {shape}; net grid {cfg.grid_shape}; registration ({mode}) {dt:.1f}s")
     print(f"image MSE: before {before:.5f} -> after {after:.5f} ({after / before:.2%})")
     print(f"field error in anatomy (mm, GT amplitude {amp}): "

@@ -142,6 +142,7 @@ def register_pair(
     finetune_scales: Tuple[int, ...] = (2,),
     finetune_lr: float = 0.15,
     b_on_grid: Optional[jax.Array] = None,
+    gicon_grad: Optional[str] = None,
 ) -> Tuple[DisplacementField, DisplacementField]:
     """Register two physical-space images; returns (phi_AB, phi_BA) as
     displacement fields. phi_AB warps A-grid data onto B's grid (it maps
@@ -156,7 +157,14 @@ def register_pair(
 
     b_on_grid: image_b already resampled onto its registration grid —
     ICON_Registration caches this for its fixed atlas so repeated
-    registrations (the cohort case) skip one full resample per knee."""
+    registrations (the cohort case) skip one full resample per knee.
+
+    gicon_grad: GradICON-penalty gradient mode for the instance/fine-tune
+    steps ("exact" | "alternating"); None = the package default
+    (models.gradicon.INSTANCE_DEFAULT_GICON_GRAD)."""
+    from oai_analysis_2_tpu.models.gradicon import INSTANCE_DEFAULT_GICON_GRAD
+
+    gicon_grad = INSTANCE_DEFAULT_GICON_GRAD if gicon_grad is None else gicon_grad
     cfg = config or GradICONConfig()
     grid_a = _net_grid_reference(image_a, cfg.grid_shape)
     grid_b = _net_grid_reference(image_b, cfg.grid_shape)
@@ -189,6 +197,7 @@ def register_pair(
                 diffusion_weight=diffusion_weight,
                 init_ab=nmap_ab,
                 init_ba=nmap_ba,
+                gicon_grad=gicon_grad,
             )
     else:
         nmap_ab, nmap_ba = register_pair_instance(
@@ -199,6 +208,7 @@ def register_pair(
             lncc_window=cfg.lncc_window,
             lambda_reg=lambda_reg,
             diffusion_weight=diffusion_weight,
+            gicon_grad=gicon_grad,
         )
 
     # nmap_ab: A-grid coords -> B-grid coords (pullback of B onto A).
@@ -232,6 +242,7 @@ class ICON_Registration:
         finetune_scales: Tuple[int, ...] = (2,),
         finetune_lr: float = 0.15,
         verbose: bool = False,
+        gicon_grad: Optional[str] = None,
     ):
         from oai_analysis_2_tpu.models.gradicon import (
             default_gradicon_weights_path,
@@ -253,6 +264,9 @@ class ICON_Registration:
         self.finetune_scales = finetune_scales
         self.finetune_lr = finetune_lr
         self.verbose = verbose
+        # GradICON gradient mode for instance/fine-tune steps ("exact" |
+        # "alternating" | None = package default); see gradicon_penalty_alternating.
+        self.gicon_grad = gicon_grad
         self.model: Optional[GradICON] = None
         self.params: Optional[List[dict]] = None
 
@@ -381,5 +395,6 @@ class ICON_Registration:
             finetune_scales=self.finetune_scales,
             finetune_lr=self.finetune_lr,
             b_on_grid=b_on_grid,
+            gicon_grad=self.gicon_grad,
         )
         return phi_ab

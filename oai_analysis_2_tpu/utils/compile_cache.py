@@ -19,8 +19,14 @@ from typing import Optional
 
 
 def default_cache_dir() -> str:
-    return os.environ.get("OAI_TPU_CACHE_DIR") or os.path.join(
-        os.path.expanduser("~"), ".cache", "oai_analysis_2_tpu", "xla"
+    # JAX's own env var is honored too: when jax is pre-imported (e.g. by a
+    # platform sitecustomize) the config-update path below runs instead of
+    # the env setdefault path, and without this it would silently override a
+    # user-set JAX_COMPILATION_CACHE_DIR with the package default.
+    return (
+        os.environ.get("OAI_TPU_CACHE_DIR")
+        or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+        or os.path.join(os.path.expanduser("~"), ".cache", "oai_analysis_2_tpu", "xla")
     )
 
 

@@ -52,6 +52,55 @@ class TestTransformAlgebra:
         ident = identity_map(shape)
         assert float(gradicon_penalty(ident, ident)) < 1e-8
 
+    def test_alternating_penalty_zero_at_optimum_and_scatter_free(self):
+        """gradicon_penalty_alternating: same optimum (mutually inverse
+        maps), gradients flow to BOTH fields, and — the point of it — the
+        gradient program contains NO scatter (the exact penalty's VJP
+        scatter-adds into the full grid, which TPUs serialize)."""
+        import jax
+
+        from oai_analysis_2_tpu.models.gradicon import gradicon_penalty_alternating
+
+        shape = (8, 8, 8)
+        ident = identity_map(shape)
+        assert float(gradicon_penalty_alternating(ident, ident)) < 1e-8
+
+        rng = np.random.default_rng(3)
+        pert = 0.03 * jnp.asarray(rng.standard_normal(shape + (3,)), jnp.float32)
+        phi_ab, phi_ba = ident + pert, ident - pert
+
+        def alt_loss(pair):
+            return gradicon_penalty_alternating(*pair)
+
+        def exact_loss(pair):
+            return gradicon_penalty(*pair)
+
+        g_ab, g_ba = jax.grad(alt_loss)((phi_ab, phi_ba))
+        assert float(jnp.abs(g_ab).max()) > 0
+        assert float(jnp.abs(g_ba).max()) > 0
+
+        alt_hlo = jax.jit(jax.grad(alt_loss)).lower((phi_ab, phi_ba)).as_text()
+        exact_hlo = jax.jit(jax.grad(exact_loss)).lower((phi_ab, phi_ba)).as_text()
+        assert "scatter" not in alt_hlo
+        assert "scatter" in exact_hlo
+
+    def test_instance_gicon_grad_modes(self):
+        """Both gradient modes recover a translation; bad mode raises."""
+        shape = (16, 32, 32)
+        a = jnp.asarray(_blob(shape, (8, 16, 16)))
+        b = jnp.asarray(_blob(shape, (8, 16, 19)))
+        before = float(jnp.mean((a - b) ** 2))
+        for mode in ("exact", "alternating"):
+            phi_ab, _ = register_pair_instance(
+                a, b, scales=(4,), steps_per_scale=30, gicon_grad=mode
+            )
+            after = float(jnp.mean((a - warp(b, phi_ab)) ** 2))
+            assert after < 0.4 * before, mode
+        with pytest.raises(ValueError):
+            register_pair_instance(
+                a, b, scales=(4,), steps_per_scale=1, gicon_grad="bogus"
+            )
+
     def test_lncc_perfect_match_is_zero(self):
         rng = np.random.default_rng(2)
         a = jnp.asarray(rng.standard_normal((10, 10, 10)), jnp.float32)
