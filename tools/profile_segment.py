@@ -21,11 +21,19 @@ from oai_analysis_2_tpu.utils.checkpoint import save_checkpoint
 
 
 def t(fn, *args, n=3, warmup=1):
+    # N.B. force sync with a VALUE PULL: the axon backend's
+    # block_until_ready can return before execution completes (measured
+    # 0.000s "block" followed by a 15s value read), so timing must close
+    # over a scalar readback.
+    def sync(out):
+        return float(jnp.asarray(out).ravel()[0])
+
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        sync(fn(*args))
     t0 = time.time()
-    outs = [fn(*args) for _ in range(n)]
-    jax.block_until_ready(outs[-1])
+    for _ in range(n):
+        out = fn(*args)
+    sync(out)
     return (time.time() - t0) / n
 
 
@@ -45,7 +53,7 @@ shape = (160, 384, 384)
 rng = np.random.default_rng(0)
 vol = jnp.asarray(rng.uniform(0, 1, shape).astype(np.float32))
 
-for bs in (4, 8, 16):
+for bs in (4, 8, 10, 16, 20):
     seg = Segmenter3DInPatchClassWise(mode="pred", config={
         "ckpoint_path": str(tmp / "seg.npz"),
         "training_config_file": str(tmp / "cfg.json"),
