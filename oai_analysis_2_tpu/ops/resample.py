@@ -60,7 +60,15 @@ class DisplacementField:
 
 def _trilinear_gather(volume: jnp.ndarray, idx_zyx: jnp.ndarray, outside_value: float):
     """Trilinear sample of a (D,H,W) or (D,H,W,C) volume at continuous
-    (..., 3) z,y,x indices. Returns (..., [C]) samples; out-of-buffer -> outside."""
+    (..., 3) z,y,x indices. Returns (..., [C]) samples; out-of-buffer -> outside.
+
+    The 8 taps are FLAT 1-D gathers on the linearized volume: XLA-TPU's 1-D
+    gather path is ~1.7x faster than the equivalent 3-D gather at production
+    warp sizes (tools/profile_warp.py: 1875 -> 1099 ms for the 2-channel
+    160x384x384 probmap warp), and windowed (2,2,2,C) block gathers are a
+    non-starter (TPU tiled layouts pad the tiny trailing dims ~1000x). Taps
+    and lerp order are unchanged, so values are bit-identical to the 3-D
+    form."""
     d, h, w = volume.shape[:3]
     z, y, x = idx_zyx[..., 0], idx_zyx[..., 1], idx_zyx[..., 2]
 
@@ -85,8 +93,11 @@ def _trilinear_gather(volume: jnp.ndarray, idx_zyx: jnp.ndarray, outside_value: 
     fy = jnp.clip(y - y0, 0.0, 1.0)
     fx = jnp.clip(x - x0, 0.0, 1.0)
 
+    flat = volume.reshape((d * h * w,) + volume.shape[3:])
+
     def gather(zi, yi, xi):
-        return volume[zi, yi, xi]
+        # indices are in-bounds by construction (clipped above)
+        return jnp.take(flat, (zi * h + yi) * w + xi, axis=0)
 
     c000 = gather(z0, y0, x0)
     c001 = gather(z0, y0, x1)
