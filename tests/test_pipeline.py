@@ -89,6 +89,58 @@ class TestSegmenter:
         vals = np.unique(np.asarray(fc.data))
         assert set(vals).issubset({0.0, 1.0})
 
+    def test_inference_patch_size_dial(self, seg_setup, tmp_path):
+        """`inference_patch_size` re-tiles inference without touching the
+        training patch. With pointwise (threshold) weights the output is
+        tile-size invariant, so the dial must reproduce the default tiling's
+        maps exactly; invalid tiles (not divisible by the pooling ladder)
+        must raise."""
+        import json as _json
+
+        from oai_analysis_2_tpu.models.unet3d import make_threshold_params
+
+        cfg = {
+            "patch_size": [32, 32, 16],
+            "model": "UNet_light4",
+            "model_setting": {"in_channel": 1, "n_classes": 2, "bias": True, "BN": False},
+        }
+        (tmp_path / "cfg.json").write_text(_json.dumps(cfg))
+        model = UNet3D(NETWORK_SPECS["UNet_light4"].replace(bias=True))
+        save_checkpoint(
+            {"params": make_threshold_params(model, gain=24.0, threshold=0.5)},
+            is_best=False, path=tmp_path, name="seg.npz",
+        )
+        base = {
+            "ckpoint_path": str(tmp_path / "seg.npz"),
+            "training_config_file": str(tmp_path / "cfg.json"),
+            "batch_size": 4,
+            "overlap_size": (4, 4, 2),
+            "compute_dtype": "float32",
+        }
+        rng = np.random.default_rng(3)
+        img = image_from_array(rng.uniform(0, 1, (20, 36, 36)).astype(np.float32))
+
+        seg_def = Segmenter3DInPatchClassWise(mode="pred", config=base)
+        fc0, tc0 = seg_def.segment(img, if_output_itk=False)
+
+        seg_big = Segmenter3DInPatchClassWise(
+            mode="pred", config={**base, "inference_patch_size": (40, 40, 24),
+                                 "batch_size": 1},
+        )
+        seg_big.pred_setup()
+        assert seg_big.partition.num_tiles(img.data.shape) < seg_def.partition.num_tiles(
+            img.data.shape
+        )
+        fc1, tc1 = seg_big.segment(img, if_output_itk=False)
+        np.testing.assert_allclose(np.asarray(fc1), np.asarray(fc0), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(tc1), np.asarray(tc0), atol=1e-6)
+
+        seg_bad = Segmenter3DInPatchClassWise(
+            mode="pred", config={**base, "inference_patch_size": (35, 36, 20)},
+        )
+        with pytest.raises(ValueError, match="divisible"):
+            seg_bad.pred_setup()
+
     def test_torch_checkpoint_roundtrip(self, seg_setup, tmp_path):
         """The reference's .pth.tar checkpoints load through the converter."""
         torch = pytest.importorskip("torch")
