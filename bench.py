@@ -22,11 +22,49 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
+import sys
 import time
+from pathlib import Path
 
 import numpy as np
 
 BASELINE_KNEES_PER_HOUR = 3600.0 / 148.0  # reference Colab GPU pipeline
+
+PARTIAL_PATH = Path(__file__).with_name("BENCH_partial.json")
+
+
+def _is_tunnel_error(e: BaseException) -> bool:
+    """Transient axon-tunnel/runtime failures worth retrying (r03's bench
+    died on a single `remote_compile: response body closed` mid-thickness;
+    one hiccup must not erase a round's evidence)."""
+    try:
+        import jax
+
+        if isinstance(e, jax.errors.JaxRuntimeError):
+            return True
+    except Exception:  # noqa: BLE001
+        pass
+    msg = str(e)
+    return any(s in msg for s in ("remote_compile", "INTERNAL", "DEADLINE_EXCEEDED",
+                                  "UNAVAILABLE", "response body closed"))
+
+
+def _retry(fn, what, attempts=3):
+    """Re-dispatch `what` on transient tunnel errors, cap `attempts`.
+    Non-tunnel exceptions raise through immediately."""
+    last = None
+    for i in range(1, attempts + 1):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001
+            if not _is_tunnel_error(e):
+                raise
+            last = e
+            print(f"bench: {what} attempt {i}/{attempts} failed: {e!r}",
+                  file=sys.stderr)
+            if i < attempts:
+                time.sleep(10.0 * i)
+    raise last
 
 
 def _shell_probmap(shape_zyx, r_inner=47.5, r_outer=52.5, center=None):
@@ -178,28 +216,56 @@ def _measure_cold_warmup() -> float:
 def main():
     from oai_analysis_2_tpu.utils.compile_cache import cache_entry_count
 
+    result_json = {
+        "metric": "single-knee pipeline (seg+reg+warp+thickness), steady-state",
+        "value": None,
+        "unit": "knees/hour/chip",
+        "vs_baseline": None,
+    }
+
+    def emit_partial():
+        """Write-after-each-phase: a crash still leaves a parseable record."""
+        try:
+            PARTIAL_PATH.write_text(json.dumps(result_json))
+        except OSError as e:  # noqa: PERF203 — best effort only
+            print(f"bench: partial emit failed: {e!r}", file=sys.stderr)
+
     cache_entries_start = cache_entry_count()
+    result_json["compile_cache_entries_at_start"] = cache_entries_start
     # cold-start story (VERDICT r2 #2): when the persistent cache is empty,
     # pay the cold compiles in a subprocess FIRST (single-TPU-client tunnel:
     # it must run before this process initializes a device client); the
     # parent then measures the cache-hit warmup every later process pays.
     warm_cold = _measure_cold_warmup() if cache_entries_start == 0 else None
+    result_json["warmup_seconds_cold"] = round(warm_cold, 1) if warm_cold else None
+    emit_partial()
 
-    t_setup = time.time()
-    pipe, one_knee, pipe_inputs = build_pipeline()
-    # warm-up knee: deserializes cached executables (or compiles on a
-    # pre-populated cache whose entries this graph misses)
-    one_knee()
-    warm = time.time() - t_setup
+    # ---- phase 1: headline single-knee median-of-3 (retried; bench fails
+    # only if this phase cannot complete) -------------------------------------
+    try:
+        t_setup = time.time()
+        pipe, one_knee, pipe_inputs = build_pipeline()
+        # warm-up knee: deserializes cached executables (or compiles on a
+        # pre-populated cache whose entries this graph misses)
+        _retry(one_knee, "warmup knee")
+        warm = time.time() - t_setup
 
-    # median of 3 steady-state knees — the TPU tunnel's throughput varies
-    # run-to-run, so a single sample is noisy
-    samples = []
-    for _ in range(3):
-        t0 = time.time()
-        result = one_knee()
-        samples.append(time.time() - t0)
-    dt = sorted(samples)[1]
+        def timed_knee():
+            t0 = time.time()
+            r = one_knee()
+            return time.time() - t0, r
+
+        # median of 3 steady-state knees — the TPU tunnel's throughput varies
+        # run-to-run, so a single sample is noisy; each sample is re-dispatched
+        # (timer restarted) on a transient tunnel error
+        samples = [_retry(timed_knee, f"knee sample {i}") for i in range(3)]
+        samples.sort(key=lambda s: s[0])
+        dt, result = samples[1]  # median sample and ITS stage timings
+    except Exception as e:  # noqa: BLE001
+        result_json["error"] = f"headline phase failed: {e!r}"
+        emit_partial()
+        print(json.dumps(result_json))
+        raise
 
     # sanity: these meshes come from the segmenter's OWN warped outputs — a
     # segmentation/assemble/warp regression shows up as degenerate meshes
@@ -211,63 +277,132 @@ def main():
     fc_med = float(np.median(np.asarray(fc_inner.point_data)))
     assert 0.2 < fc_med < 10.0, f"implausible FC thickness median {fc_med}"
 
-    # knee-BATCHED pipeline (parallel/batch.py) on this one chip: the same
-    # SPMD program a v5e-8 shards over its data axis (dryrun-validated on an
-    # 8-device mesh by __graft_entry__.dryrun_multichip). B=2 on one chip
-    # measures the batching overhead; the v5e-8 projection assumes linear
-    # per-chip scaling of the data-parallel batch (no cross-chip collectives
-    # in the inference graph — each chip computes its own knees).
-    from oai_analysis_2_tpu.parallel.batch import BatchKneePipeline
-
-    bpipe = BatchKneePipeline(
-        pipe.segmenter, pipe.atlas, mesh=None,
-        registration_config=pipe.reg_config,
-        registration_mode=pipe.registerer.mode,
-        finetune_steps=20, warp_dtype="bfloat16",
+    knees_per_hour = 3600.0 / dt
+    result_json.update(
+        {
+            "value": round(knees_per_hour, 2),
+            "vs_baseline": round(knees_per_hour / BASELINE_KNEES_PER_HOUR, 2),
+            "seconds_per_knee": round(dt, 2),
+            "knee_samples": [round(s, 1) for s, _ in samples],
+            "warmup_seconds": round(warm, 1),  # this process (cache-hit path)
+            "warmup_seconds_cached": round(warm, 1),
+            "registration_mode": pipe.registerer.mode,
+            "fc_mesh_points": int(fc_inner.n_points),
+            "tc_mesh_points": int(tc_inner.n_points),
+            "fc_thickness_median_mm": round(fc_med, 3),
+            "stage_seconds": {k: v["seconds"] for k, v in result.timings.items()},
+            # BASELINE.md tracked metric: 3D UNet voxels/sec through the
+            # segment stage (overlap tiles on the 160x384x384 volume)
+            "unet_voxels_per_sec": round(
+                pipe.segmenter.partition.num_tiles((160, 384, 384))
+                * int(np.prod(pipe.segmenter.partition.tile_size))
+                / result.timings["segment"]["seconds"]
+            ),
+        }
     )
-    knee_img = pipe_inputs["knee"]
-    bpipe.run_batch([knee_img, knee_img])  # warm-up (compile)
-    bsamples = []
-    for _ in range(2):
-        t0 = time.time()
-        bpipe.run_batch([knee_img, knee_img])
-        bsamples.append((time.time() - t0) / 2.0)
-    batch_per_knee = min(bsamples)
-    batch_eff = dt / batch_per_knee
+    emit_partial()
 
-    # B=8: the v5e-8 working set on ONE chip. The device stages execute the
-    # 8 knees SEQUENTIALLY here (lax.map) — on a v5e-8 each chip runs exactly
-    # one knee of this same SPMD program (dryrun-validated sharding), so
-    # per-batch wall-clock there = device_batch/8 + thickness_batch (the
-    # batched thickness is shared host+device work at its true B=8 size).
-    b8 = [knee_img] * 8
-    r8 = bpipe.run_batch(b8)  # warm-up (B=8 programs compile/deserialize)
-    t0 = time.time()
-    r8 = bpipe.run_batch(b8)
-    batch8_total = time.time() - t0
-    t8 = {k: v["seconds"] for k, v in r8[0].timings.items()}
-    batch8_device = t8.get("device_batch", float("nan"))
-    batch8_thickness = t8.get("thickness_batch", 0.0)
-    v5e8_seconds_per_batch = batch8_device / 8.0 + batch8_thickness
-    projected_v5e8 = 8 * 3600.0 / max(v5e8_seconds_per_batch, 1e-9)
+    # ---- phase 2: knee-BATCHED pipeline (parallel/batch.py) on this one
+    # chip: the same SPMD program a v5e-8 shards over its data axis
+    # (dryrun-validated on an 8-device mesh by __graft_entry__.
+    # dryrun_multichip). B=2 on one chip measures the batching overhead; the
+    # v5e-8 projection assumes linear per-chip scaling of the data-parallel
+    # batch (no cross-chip collectives in the inference graph — each chip
+    # computes its own knees). Guarded: a failure here records an error but
+    # keeps the verified headline. ---------------------------------------------
+    try:
+        from oai_analysis_2_tpu.parallel.batch import BatchKneePipeline
 
-    # software-pipelined cohort loop (run_batches): batch k's thickness
-    # bookkeeping overlaps batch k+1's async-dispatched device stages, so
-    # steady-state per-batch cost tends to max(device, thickness), not
-    # their sum. Measure the real one-chip overlap over 3 batches.
-    t0 = time.time()
-    bpipe.run_batches([b8, b8, b8])
-    batch8_pipelined_per_batch = (time.time() - t0) / 3.0
-    overlap_gain = batch8_total / max(batch8_pipelined_per_batch, 1e-9)
-    projected_v5e8_pipelined = 8 * 3600.0 / max(
-        batch8_device / 8.0, batch8_thickness, 1e-9
-    )
+        bpipe = BatchKneePipeline(
+            pipe.segmenter, pipe.atlas, mesh=None,
+            registration_config=pipe.reg_config,
+            registration_mode=pipe.registerer.mode,
+            finetune_steps=20, warp_dtype="bfloat16",
+        )
+        knee_img = pipe_inputs["knee"]
+        pair = [knee_img, knee_img]
+        _retry(lambda: bpipe.run_batch(pair), "batch2 warmup")  # compile
+        bsamples = []
+        for i in range(2):
+            def timed_b2():
+                t0 = time.time()
+                bpipe.run_batch(pair)
+                return (time.time() - t0) / 2.0
+            bsamples.append(_retry(timed_b2, f"batch2 sample {i}"))
+        batch_per_knee = min(bsamples)
+        result_json["batch2_seconds_per_knee"] = round(batch_per_knee, 2)
+        result_json["batch_efficiency_vs_single"] = round(dt / batch_per_knee, 3)
+        emit_partial()
 
-    # inference-tile dial (opt-in `inference_patch_size`): the reference
-    # contract tiles at the training patch (128,128,32)+(16,16,8) overlap —
-    # 3.56x redundant conv work; x,y-spanning z-slabs cut that to 1.76x.
-    # Measure the dial's fused segment program; the headline stays at the
-    # reference-faithful tiling.
+        # B=8: the v5e-8 working set on ONE chip. The device stages execute
+        # the 8 knees SEQUENTIALLY here (lax.map) — on a v5e-8 each chip runs
+        # exactly one knee of this same SPMD program (dryrun-validated
+        # sharding), so per-batch wall-clock there = device_batch/8 +
+        # thickness_batch (the batched thickness is shared host+device work
+        # at its true B=8 size).
+        b8 = [knee_img] * 8
+        _retry(lambda: bpipe.run_batch(b8), "batch8 warmup")
+
+        def timed_b8():
+            t0 = time.time()
+            r = bpipe.run_batch(b8)
+            return time.time() - t0, r
+
+        batch8_total, r8 = _retry(timed_b8, "batch8 sample")
+        t8 = {k: v["seconds"] for k, v in r8[0].timings.items()}
+        batch8_device = t8.get("device_batch", float("nan"))
+        batch8_thickness = t8.get("thickness_batch", 0.0)
+        v5e8_seconds_per_batch = batch8_device / 8.0 + batch8_thickness
+        projected_v5e8 = 8 * 3600.0 / max(v5e8_seconds_per_batch, 1e-9)
+
+        # software-pipelined cohort loop (run_batches): batch k's thickness
+        # bookkeeping overlaps batch k+1's async-dispatched device stages, so
+        # steady-state per-batch cost tends to max(device, thickness), not
+        # their sum. Measure the real one-chip overlap over 3 batches.
+        def timed_b8_pipelined():
+            t0 = time.time()
+            bpipe.run_batches([b8, b8, b8])
+            return (time.time() - t0) / 3.0
+
+        batch8_pipelined_per_batch = _retry(timed_b8_pipelined, "batch8 pipelined")
+        result_json.update(
+            {
+                "batch8_seconds_total": round(batch8_total, 2),
+                "batch8_device_seconds": round(batch8_device, 2),
+                "batch8_thickness_seconds": round(batch8_thickness, 2),
+                "batch8_pipelined_seconds_per_batch": round(
+                    batch8_pipelined_per_batch, 2
+                ),
+                "batch8_overlap_gain": round(
+                    batch8_total / max(batch8_pipelined_per_batch, 1e-9), 3
+                ),
+                "projected_v5e8_knees_per_hour": round(projected_v5e8, 1),
+                "projected_v5e8_pipelined_knees_per_hour": round(
+                    8 * 3600.0 / max(batch8_device / 8.0, batch8_thickness, 1e-9), 1
+                ),
+                "projection_assumption": (
+                    "measured B=8 batch on one chip: device stages run the 8 "
+                    "knees sequentially (lax.map) and shard 1/chip on a v5e-8 "
+                    "with no cross-chip collectives (dryrun-validated), so "
+                    "per-batch time there = device_batch/8 + the measured B=8 "
+                    "batched thickness; the pipelined figure additionally "
+                    "overlaps batch k's thickness with batch k+1's device "
+                    "stages (run_batches; one-chip overlap measured as "
+                    "batch8_overlap_gain), giving per-batch "
+                    "max(device/8, thickness)"
+                ),
+            }
+        )
+    except Exception as e:  # noqa: BLE001 — keep the verified headline
+        print(f"bench: batch phase failed: {e!r}", file=sys.stderr)
+        result_json["batch_phase_error"] = repr(e)
+    emit_partial()
+
+    # ---- phase 3: inference-tile dial (opt-in `inference_patch_size`): the
+    # reference contract tiles at the training patch (128,128,32)+(16,16,8)
+    # overlap — 3.56x redundant conv work; x,y-spanning z-slabs cut that to
+    # 1.76x. Measure the dial's fused segment program; the headline stays at
+    # the reference-faithful tiling. --------------------------------------------
     seg_dial_seconds = None
     try:
         from oai_analysis_2_tpu.engine.segmenter import Segmenter3DInPatchClassWise
@@ -288,71 +423,33 @@ def main():
             return float(_jnp.asarray(out).ravel()[0])
 
         vol = pipe_inputs["knee"].data.astype(np.float32)
-        _pull_scalar(run_dial(dev_params, vol))  # warm-up
-        dial_samples = []
-        for _ in range(3):
+        _retry(lambda: _pull_scalar(run_dial(dev_params, vol)), "dial warmup")
+
+        def timed_dial():
             t0 = time.time()
             _pull_scalar(run_dial(dev_params, vol))
-            dial_samples.append(time.time() - t0)
-        seg_dial_seconds = sorted(dial_samples)[1]
-    except Exception:  # noqa: BLE001 — the dial is auxiliary; never fail bench
-        pass
+            return time.time() - t0
 
-    knees_per_hour = 3600.0 / dt
-    result_json = {
-        "metric": "single-knee pipeline (seg+reg+warp+thickness), steady-state",
-        "value": round(knees_per_hour, 2),
-        "unit": "knees/hour/chip",
-        "vs_baseline": round(knees_per_hour / BASELINE_KNEES_PER_HOUR, 2),
-        "seconds_per_knee": round(dt, 2),
-        "knee_samples": [round(s, 1) for s in samples],
-        "warmup_seconds": round(warm, 1),  # this process (cache-hit path)
-        "warmup_seconds_cold": round(warm_cold, 1) if warm_cold else None,
-        "warmup_seconds_cached": round(warm, 1),
-        "compile_cache_entries_at_start": cache_entries_start,
-        "batch2_seconds_per_knee": round(batch_per_knee, 2),
-        "batch_efficiency_vs_single": round(batch_eff, 3),
-        "batch8_seconds_total": round(batch8_total, 2),
-        "batch8_device_seconds": round(batch8_device, 2),
-        "batch8_thickness_seconds": round(batch8_thickness, 2),
-        "batch8_pipelined_seconds_per_batch": round(batch8_pipelined_per_batch, 2),
-        "batch8_overlap_gain": round(overlap_gain, 3),
-        "projected_v5e8_knees_per_hour": round(projected_v5e8, 1),
-        "projected_v5e8_pipelined_knees_per_hour": round(projected_v5e8_pipelined, 1),
-        "projection_assumption": (
-            "measured B=8 batch on one chip: device stages run the 8 knees "
-            "sequentially (lax.map) and shard 1/chip on a v5e-8 with no "
-            "cross-chip collectives (dryrun-validated), so per-batch time "
-            "there = device_batch/8 + the measured B=8 batched thickness; "
-            "the pipelined figure additionally overlaps batch k's thickness "
-            "with batch k+1's device stages (run_batches; one-chip overlap "
-            "measured as batch8_overlap_gain), giving per-batch "
-            "max(device/8, thickness)"
-        ),
-        # opt-in inference_patch_size=(416,416,48): same network, z-slab
-        # tiles spanning x,y — 41.5M padded voxels vs the reference
-        # tiling's 83.9M (engine/segmenter.py pred_setup docstring)
-        "segment_seconds_tile_dial": (
-            round(seg_dial_seconds, 2) if seg_dial_seconds else None
-        ),
-        "seconds_per_knee_tile_dial": (
-            round(dt - result.timings["segment"]["seconds"] + seg_dial_seconds, 2)
-            if seg_dial_seconds
-            else None
-        ),
-        "registration_mode": pipe.registerer.mode,
-        "fc_mesh_points": int(fc_inner.n_points),
-        "tc_mesh_points": int(tc_inner.n_points),
-        "fc_thickness_median_mm": round(fc_med, 3),
-        "stage_seconds": {k: v["seconds"] for k, v in result.timings.items()},
-        # BASELINE.md tracked metric: 3D UNet voxels/sec through the segment
-        # stage (overlap tiles on the 160x384x384 volume)
-        "unet_voxels_per_sec": round(
-            pipe.segmenter.partition.num_tiles((160, 384, 384))
-            * int(np.prod(pipe.segmenter.partition.tile_size))
-            / result.timings["segment"]["seconds"]
-        ),
-    }
+        dial_samples = [_retry(timed_dial, f"dial sample {i}") for i in range(3)]
+        seg_dial_seconds = sorted(dial_samples)[1]
+    except Exception as e:  # noqa: BLE001 — the dial is auxiliary; never fail bench
+        print(f"bench: tile dial skipped: {e!r}", file=sys.stderr)
+        result_json["tile_dial_error"] = repr(e)
+
+    # opt-in inference_patch_size=(416,416,48): same network, z-slab tiles
+    # spanning x,y — 41.5M padded voxels vs the reference tiling's 83.9M
+    # (engine/segmenter.py pred_setup docstring). The derived per-knee figure
+    # uses the MEDIAN headline sample's segment seconds (dt and result are
+    # the same sample, so the subtraction is self-consistent).
+    result_json["segment_seconds_tile_dial"] = (
+        round(seg_dial_seconds, 2) if seg_dial_seconds is not None else None
+    )
+    result_json["seconds_per_knee_tile_dial"] = (
+        round(dt - result.timings["segment"]["seconds"] + seg_dial_seconds, 2)
+        if seg_dial_seconds is not None
+        else None
+    )
+    emit_partial()
     print(json.dumps(result_json))
 
 

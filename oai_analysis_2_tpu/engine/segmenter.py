@@ -65,15 +65,15 @@ class Segmenter3DInPatchClassWise(Segmenter):
         valid — and larger tiles slash the overlap-tiling overhead: at the
         default 128x128x32 tile with (16,16,8) overlap only 28% of each
         tile's voxels are kept (3.56x redundant conv work per volume);
-        x,y-spanning z-slabs of 416x416x48 keep 74% (1.36x). Outputs differ
+        x,y-spanning z-slabs of 416x416x48 keep 57% (1.76x). Outputs differ
         from the training tile only inside the discarded overlap bands'
         receptive-field shadow; defaults stay reference-faithful.
         """
         training_config = load_json_to_dict(self.config["training_config_file"])
         self.patch_size = tuple(training_config["patch_size"])  # x, y, z
         tile = tuple(self.config.get("inference_patch_size") or self.patch_size)
-        spec_probe = get_network(training_config["model"])
-        pool_factor = 2 ** (len(spec_probe.enc) - 1)
+        spec = get_network(training_config["model"])
+        pool_factor = 2 ** (len(spec.enc) - 1)
         if any(t % pool_factor for t in tile):
             raise ValueError(
                 f"inference_patch_size {tile} must be divisible by {pool_factor} "
@@ -82,7 +82,6 @@ class Segmenter3DInPatchClassWise(Segmenter):
         self.partition = Partition(
             tile, self.config.get("overlap_size", (16, 16, 8)), padding_mode="reflect"
         )
-        spec = get_network(training_config["model"])
         setting = dict(training_config.get("model_setting", {}))
         if "in_channel" in setting:
             setting["in_channels"] = setting.pop("in_channel")
