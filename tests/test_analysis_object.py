@@ -74,3 +74,61 @@ class TestAnalysisObject:
         assert isinstance(phi, DisplacementField)
         warped = resample_image(fc, obj.atlas_image, displacement=phi)
         assert warped.data.shape == obj.atlas_image.data.shape
+
+
+class TestOfflineFacade:
+    """atlas_path='phantom' / models_path='phantom': the flagship facade must
+    construct in zero-egress environments (round-3 verdict #8; the reference
+    facade hard-requires its release downloads, analysis_object.py:41)."""
+
+    def test_offline_constructs_and_loads(self, monkeypatch, tmp_path):
+        monkeypatch.setenv("HOME", str(tmp_path))  # isolate the phantom cache
+        monkeypatch.delenv("OAI_TPU_DATA_DIR", raising=False)
+        from oai_analysis_2_tpu.analysis_object import AnalysisObject
+
+        obj = AnalysisObject.offline(
+            atlas_shape="phantom:24,48,48", batch_size=1, compute_dtype="float32"
+        )
+        assert obj.atlas_image.data.shape == (24, 48, 48)
+        obj.segmenter.pred_setup()  # loads the cached threshold checkpoint
+        assert obj.segmenter.epoch == 600
+        assert obj.segmenter.patch_size == (128, 128, 32)  # production topology
+
+        # the bundled atlas is deterministic (seeded) — two constructions agree
+        obj2 = AnalysisObject.offline(atlas_shape="phantom:24,48,48", batch_size=1)
+        np.testing.assert_array_equal(
+            np.asarray(obj.atlas_image.data), np.asarray(obj2.atlas_image.data)
+        )
+
+    def test_default_phantom_uses_reference_atlas_grid(self, monkeypatch, tmp_path):
+        from oai_analysis_2_tpu import analysis_object as ao
+
+        captured = {}
+        real_phantom = ao._phantom_atlas
+
+        def fake_phantom(shape):
+            captured["shape"] = shape
+            return real_phantom((8, 16, 16))
+
+        monkeypatch.setattr(ao, "_phantom_atlas", fake_phantom)
+        monkeypatch.setenv("HOME", str(tmp_path))
+        ao.AnalysisObject(models_path="phantom", atlas_path="phantom")
+        assert captured["shape"] == (160, 384, 384)  # FullDemo cell 7 grid
+
+    def test_download_failure_hints_phantom(self, monkeypatch):
+        from oai_analysis_2_tpu import analysis_object as ao
+        from oai_analysis_2_tpu.utils import data as data_mod
+
+        def boom():
+            raise OSError("no egress")
+
+        monkeypatch.setattr(data_mod, "models_dir", boom)
+        with pytest.raises(RuntimeError, match="phantom"):
+            ao.AnalysisObject()
+
+    def test_bad_phantom_spec_raises(self, monkeypatch, tmp_path):
+        monkeypatch.setenv("HOME", str(tmp_path))
+        from oai_analysis_2_tpu.analysis_object import AnalysisObject
+
+        with pytest.raises(ValueError, match="phantom"):
+            AnalysisObject(models_path="phantom", atlas_path="phantom:1,2")
