@@ -137,6 +137,9 @@ class AnalysisObject:
             mode=registration_mode, instance_steps=registration_steps
         )
 
+        #: directory holding the atlas artifacts (atlas_fc/tc.nii.gz probmaps
+        #: next to atlas_image.nii.gz, FullDemo cell 9); None for phantoms.
+        self.atlas_dir: Optional[Path] = None
         if isinstance(atlas_path, str) and atlas_path.startswith(PHANTOM):
             self.atlas_image: Image = _phantom_atlas(_parse_phantom_shape(atlas_path))
         else:
@@ -156,6 +159,7 @@ class AnalysisObject:
                         "atlas_path='phantom' for an offline synthetic atlas"
                     ) from e
             self.atlas_image = read_nifti(atlas_path)
+            self.atlas_dir = Path(atlas_path).parent
 
     @classmethod
     def offline(cls, atlas_shape: str = "phantom", **kwargs) -> "AnalysisObject":

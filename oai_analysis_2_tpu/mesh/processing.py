@@ -27,6 +27,7 @@ from oai_analysis_2_tpu.mesh.projection import (
     get_cylinder,
     get_projection_from_circle_and_vertice,
     project_thickness,
+    rasterize_thickness,
 )
 from oai_analysis_2_tpu.mesh.split import (
     split_femoral_cartilage_surface,

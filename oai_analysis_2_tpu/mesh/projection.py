@@ -67,8 +67,16 @@ def project_thickness(
     idx_left = np.nonzero(left)[0]
     idx_right = np.nonzero(right)[0]
 
-    emb_left = _rotate2d(linear_kpca(verts[left]), -50.0)
-    emb_right = _rotate2d(linear_kpca(verts[right]), -160.0)
+    def _side(pts, angle):
+        # a plateau can be empty when the mesh sits entirely on one side of
+        # the z=50 physical split (small/cropped inputs); the reference's
+        # KernelPCA would raise there — return an empty embedding instead
+        if len(pts) == 0:
+            return np.zeros((0, 2), np.float32)
+        return _rotate2d(linear_kpca(pts), angle)
+
+    emb_left = _side(verts[left], -50.0)
+    emb_right = _side(verts[right], -160.0)
     emb_right[:, 0] = -emb_right[:, 0]
 
     x2d = np.concatenate([emb_right[:, 0], emb_left[:, 0]])

@@ -306,3 +306,102 @@ class TestRasterize:
         assert counts.sum() == 500
         filled = mean[counts > 0]
         np.testing.assert_allclose(filled, 2.0, atol=1e-6)
+
+
+def _cap_shell_volume(shape_zyx, r_in, r_out, center=None, aspect_z=2.0):
+    """Curved cartilage-like cap shell (cf. bench.py's _shell_probmap):
+    probability ~1 between two radii, upper polar cap only."""
+    d, h, w = shape_zyx
+    c = center or (d * 0.5, h * 0.55, w * 0.5)
+    z, y, x = np.meshgrid(*[np.arange(s, dtype=np.float32) for s in shape_zyx],
+                          indexing="ij")
+    rr = np.sqrt(((z - c[0]) * aspect_z) ** 2 + (y - c[1]) ** 2 + (x - c[2]) ** 2)
+    mid, half = (r_in + r_out) / 2.0, (r_out - r_in) / 2.0
+    shell = np.clip(1.0 - np.abs(rr - mid) / half, 0.0, 1.0)
+    return (shell * (y < c[1])).astype(np.float32)
+
+
+class TestAtlas2DThicknessMap:
+    """The FullDemo cells 9-12 chain end-to-end on phantoms: subject
+    thickness mesh -> closest-point transfer onto an atlas mesh
+    (map_attributes) -> 2D unrolling (project_thickness) -> common raster
+    (rasterize_thickness), with the output raster's statistics pinned."""
+
+    def test_fc_chain_raster_statistics(self):
+        from oai_analysis_2_tpu.mesh.processing import (
+            get_mesh,
+            get_thickness_mesh,
+            map_attributes,
+            project_thickness,
+            rasterize_thickness,
+            split_mesh,
+        )
+
+        shape = (48, 96, 96)
+        subject = image_from_array(_cap_shell_volume(shape, 28.0, 35.0))
+        atlas = image_from_array(
+            _cap_shell_volume(shape, 28.0, 35.0, center=(26, 55, 50))
+        )
+
+        inner, _outer = get_thickness_mesh(subject, mesh_type="FC", num_iterations=30)
+        assert inner.n_points > 300
+        atlas_inner, _ = split_mesh(get_mesh(atlas, num_iterations=30), mesh_type="FC")
+        mapped = map_attributes(inner, atlas_inner)
+
+        x2d, y2d, th = project_thickness(mapped, mesh_type="FC")
+        mean_map, counts, bounds = rasterize_thickness(x2d, y2d, th, grid_size=(64, 64))
+
+        # every projected point lands in exactly one cell
+        assert counts.sum() == mapped.n_points == len(th)
+        # the unrolled cap fills a plausible band of the raster: neither a
+        # degenerate point-pile nor the whole grid
+        coverage = float((counts > 0).mean())
+        assert 0.05 < coverage < 0.9, coverage
+        # rasterization is a binned mean: the raster's point-weighted mean
+        # IS the projected thickness mean, and the cell-mean is close to it
+        filled = mean_map[counts > 0]
+        w_mean = float((mean_map * counts).sum() / counts.sum())
+        np.testing.assert_allclose(w_mean, float(th.mean()), rtol=1e-6)
+        assert abs(float(filled.mean()) - float(th.mean())) < 0.35 * float(th.mean())
+        # physical plausibility: the 0.5-isosurface pair of this shell profile
+        # sits ~half-width apart (3.5 vox * 0.5 * 2 sides), aspect-stretched
+        # in z — pin the band, not the exact value
+        assert 1.2 < float(np.median(th)) < 4.2, float(np.median(th))
+        # transfer fidelity: the atlas-mapped distribution tracks the
+        # subject's own thickness distribution
+        subj_med = float(np.median(np.asarray(inner.point_data)))
+        assert abs(float(np.median(th)) - subj_med) < 0.3 * subj_med
+
+    def test_tc_chain_straddles_plateau_split(self):
+        """TC projection splits plateaus at z=50 (mesh_processing.py:510-514)
+        — a shell whose z-extent straddles 50 must produce both plateaus and
+        a finite raster."""
+        from oai_analysis_2_tpu.mesh.processing import (
+            get_mesh,
+            get_thickness_mesh,
+            map_attributes,
+            project_thickness,
+            rasterize_thickness,
+            split_mesh,
+        )
+
+        shape = (64, 64, 64)  # z-extent 0..96 at spacing 1.5 straddles 50
+        spacing = (1.0, 1.0, 1.5)
+        subject = image_from_array(
+            _cap_shell_volume(shape, 20.0, 26.0, aspect_z=1.0), spacing=spacing
+        )
+        atlas = image_from_array(
+            _cap_shell_volume(shape, 20.0, 26.0, center=(33, 36, 33), aspect_z=1.0),
+            spacing=spacing,
+        )
+        inner, _ = get_thickness_mesh(subject, mesh_type="TC", num_iterations=30)
+        atlas_inner, _ = split_mesh(get_mesh(atlas, num_iterations=30), mesh_type="TC")
+        mapped = map_attributes(inner, atlas_inner)
+        assert mapped.vertices[:, 2].min() < 50 < mapped.vertices[:, 2].max()
+
+        x2d, y2d, th = project_thickness(mapped, mesh_type="TC")
+        mean_map, counts, _ = rasterize_thickness(x2d, y2d, th, grid_size=(64, 64))
+        assert counts.sum() == mapped.n_points
+        assert np.isfinite(mean_map).all()
+        filled = mean_map[counts > 0]
+        assert filled.size > 20 and 0.5 < float(np.median(filled)) < 8.0
