@@ -292,10 +292,11 @@ def main():
             "fc_thickness_median_mm": round(fc_med, 3),
             "stage_seconds": {k: v["seconds"] for k, v in result.timings.items()},
             # BASELINE.md tracked metric: 3D UNet voxels/sec through the
-            # segment stage (overlap tiles on the 160x384x384 volume)
+            # segment stage (the ACTUAL inference tiles on the 160x384x384
+            # volume — auto z-slabs by default, segmenter.partition_for)
             "unet_voxels_per_sec": round(
-                pipe.segmenter.partition.num_tiles((160, 384, 384))
-                * int(np.prod(pipe.segmenter.partition.tile_size))
+                pipe.segmenter.partition_for((160, 384, 384)).num_tiles((160, 384, 384))
+                * int(np.prod(pipe.segmenter.partition_for((160, 384, 384)).tile_size))
                 / result.timings["segment"]["seconds"]
             ),
         }
@@ -398,19 +399,20 @@ def main():
         result_json["batch_phase_error"] = repr(e)
     emit_partial()
 
-    # ---- phase 3: inference-tile dial (opt-in `inference_patch_size`): the
-    # reference contract tiles at the training patch (128,128,32)+(16,16,8)
-    # overlap — 3.56x redundant conv work; x,y-spanning z-slabs cut that to
-    # 1.76x. Measure the dial's fused segment program; the headline stays at
-    # the reference-faithful tiling. --------------------------------------------
+    # ---- phase 3: reference-faithful tiling comparison. The DEFAULT config
+    # now auto-tiles with x,y-spanning z-slabs (1.76x redundant conv work;
+    # segmenter.partition_for) — the headline above measures it. This phase
+    # measures the reference's training-patch tiling (128,128,32)+(16,16,8),
+    # 3.56x redundant work, via inference_patch_size="train" so the speedup
+    # of the promoted default stays visible in every bench record. ------------
     seg_dial_seconds = None
     try:
         from oai_analysis_2_tpu.engine.segmenter import Segmenter3DInPatchClassWise
 
         seg_dial = Segmenter3DInPatchClassWise(
             mode="pred",
-            config={**pipe.segmenter.config, "batch_size": 1,
-                    "inference_patch_size": (416, 416, 48)},
+            config={**pipe.segmenter.config, "batch_size": 8,
+                    "inference_patch_size": "train"},
         )
         seg_dial.pred_setup()
         run_dial = seg_dial._segment_fn((160, 384, 384), 1, threshold=False)
@@ -433,18 +435,17 @@ def main():
         dial_samples = [_retry(timed_dial, f"dial sample {i}") for i in range(3)]
         seg_dial_seconds = sorted(dial_samples)[1]
     except Exception as e:  # noqa: BLE001 — the dial is auxiliary; never fail bench
-        print(f"bench: tile dial skipped: {e!r}", file=sys.stderr)
-        result_json["tile_dial_error"] = repr(e)
+        print(f"bench: reference-tiling measurement skipped: {e!r}", file=sys.stderr)
+        result_json["reference_tiling_error"] = repr(e)
 
-    # opt-in inference_patch_size=(416,416,48): same network, z-slab tiles
-    # spanning x,y — 41.5M padded voxels vs the reference tiling's 83.9M
-    # (engine/segmenter.py pred_setup docstring). The derived per-knee figure
-    # uses the MEDIAN headline sample's segment seconds (dt and result are
-    # the same sample, so the subtraction is self-consistent).
-    result_json["segment_seconds_tile_dial"] = (
+    # the reference's training-patch tiling (83.9M padded voxels vs the
+    # default auto z-slabs' 41.5M). The derived per-knee figure uses the
+    # MEDIAN headline sample's segment seconds (dt and result are the same
+    # sample, so the subtraction is self-consistent).
+    result_json["segment_seconds_reference_tiling"] = (
         round(seg_dial_seconds, 2) if seg_dial_seconds is not None else None
     )
-    result_json["seconds_per_knee_tile_dial"] = (
+    result_json["seconds_per_knee_reference_tiling"] = (
         round(dt - result.timings["segment"]["seconds"] + seg_dial_seconds, 2)
         if seg_dial_seconds is not None
         else None

@@ -52,6 +52,7 @@ class Segmenter3DInPatchClassWise(Segmenter):
         self.params = None
         self.partition: Optional[Partition] = None
         self._jitted = {}
+        self._auto_partitions = {}
 
     # -- setup -------------------------------------------------------------------
 
@@ -59,24 +60,34 @@ class Segmenter3DInPatchClassWise(Segmenter):
         """Load training config + checkpoint, build the jittable model
         (reference pred_setup, segmenter.py:51-62).
 
-        Config key `inference_patch_size` (x, y, z) overrides the training
-        patch size for the inference tiling. The UNets are fully
-        convolutional, so any tile whose dims survive the pooling ladder is
-        valid — and larger tiles slash the overlap-tiling overhead: at the
-        default 128x128x32 tile with (16,16,8) overlap only 28% of each
-        tile's voxels are kept (3.56x redundant conv work per volume);
-        x,y-spanning z-slabs of 416x416x48 keep 57% (1.76x). Outputs differ
-        from the training tile only inside the discarded overlap bands'
-        receptive-field shadow; defaults stay reference-faithful.
+        Config key `inference_patch_size` controls the inference tiling. The
+        UNets are fully convolutional, so any tile whose dims survive the
+        pooling ladder is valid — and larger tiles slash the overlap-tiling
+        overhead: at the reference's 128x128x32 training tile with (16,16,8)
+        overlap only 28% of each tile's voxels are kept (3.56x redundant
+        conv work per volume); x,y-spanning z-slabs of 416x416x48 keep 57%
+        (1.76x) and measure 1.65 s vs 2.63 s per knee on v5e. Values:
+
+        * absent / "auto" (DEFAULT): per-volume-shape z-slabs spanning x,y
+          (see `partition_for`), falling back to the training tile whenever
+          the slab is unsafe or not a win. Outputs differ from the training
+          tiling only inside the discarded overlap bands' receptive-field
+          shadow — bounded well inside the reference's own Sum|diff| < 12
+          acceptance budget (tests/test_segmenter_tiling_equivalence.py);
+        * "train": the reference-faithful training-patch tiling
+          (analysis_object.py:22-23 semantics, bit-matching the torch loop);
+        * (x, y, z) tuple: a fixed explicit tile.
         """
         training_config = load_json_to_dict(self.config["training_config_file"])
         self.patch_size = tuple(training_config["patch_size"])  # x, y, z
-        tile = tuple(self.config.get("inference_patch_size") or self.patch_size)
         spec = get_network(training_config["model"])
-        pool_factor = 2 ** (len(spec.enc) - 1)
-        if any(t % pool_factor for t in tile):
+        self.pool_factor = 2 ** (len(spec.enc) - 1)
+        ips = self.config.get("inference_patch_size")
+        self.auto_tile = ips in (None, "auto")
+        tile = self.patch_size if (self.auto_tile or ips == "train") else tuple(ips)
+        if any(t % self.pool_factor for t in tile):
             raise ValueError(
-                f"inference_patch_size {tile} must be divisible by {pool_factor} "
+                f"inference_patch_size {tile} must be divisible by {self.pool_factor} "
                 f"(the {training_config['model']} pooling ladder)"
             )
         self.partition = Partition(
@@ -95,6 +106,61 @@ class Segmenter3DInPatchClassWise(Segmenter):
             self.model, ckpoint_path=self.config.get("ckpoint_path")
         )
         self.ready = True
+
+    # -- inference tiling ----------------------------------------------------------
+
+    def partition_for(self, volume_shape: Tuple[int, int, int]) -> Partition:
+        """The tiling used for one (z, y, x) volume shape.
+
+        With `inference_patch_size` absent/"auto" (default) this builds
+        x,y-spanning z-slabs: one tile covers the whole padded x,y extent and
+        the tile depth stays at the training patch depth — 1.76x redundant
+        conv work instead of the training tiling's 3.56x, measured 1.65 s vs
+        2.63 s per knee on v5e at the reference workload (NEXT.md). The
+        output differs from the training tiling only inside the discarded
+        overlap bands' receptive-field shadow (equivalence pinned in
+        tests/test_segmenter_tiling_equivalence.py under the reference's
+        Sum|diff| < 12 budget, test_all.py:32-33). Falls back to the
+        training tiling when the slab is unsafe or not a win:
+
+          * reflect padding would exceed a dim's extent (tiny volumes),
+          * slab voxels > 9.5M — the (416,416,96) slab OOMs the XLA
+            compiler at production scale,
+          * no tile-count win over the training tiling.
+        """
+        if not getattr(self, "auto_tile", False):
+            return self.partition
+        key = tuple(int(s) for s in volume_shape)
+        if key not in self._auto_partitions:
+            self._auto_partitions[key] = self._build_auto_partition(key) or self.partition
+        return self._auto_partitions[key]
+
+    def _build_auto_partition(self, volume_shape) -> Optional[Partition]:
+        pool = self.pool_factor
+        ov = tuple(self.config.get("overlap_size", (16, 16, 8)))  # x, y, z
+        d, h, w = volume_shape
+
+        def up(v: int) -> int:
+            return -(-int(v) // pool) * pool
+
+        tx = up(w + 2 * ov[0])
+        ty = up(h + 2 * ov[1])
+        tz = min(up(self.patch_size[2] + 2 * ov[2]), up(d + 2 * ov[2]))
+        if tx * ty * tz > 9_500_000:
+            return None
+        if any(t - 2 * o <= 0 for t, o in zip((tx, ty, tz), ov)):
+            return None
+        cand = Partition((tx, ty, tz), ov, padding_mode="reflect")
+        # exact reflect-pad safety: left pad o and right pad eff*grid + o - s
+        # must each stay below the dim's extent
+        grid = cand.grid_shape(volume_shape)
+        for e, g, o, s in zip(cand.effective_size, grid, cand.overlap_size,
+                              volume_shape):
+            if o > s - 1 or (e * g + o - s) > s - 1:
+                return None
+        if cand.num_tiles(volume_shape) >= self.partition.num_tiles(volume_shape):
+            return None
+        return cand
 
     # -- the fused device-side pipeline ------------------------------------------
 
@@ -138,7 +204,7 @@ class Segmenter3DInPatchClassWise(Segmenter):
         (~0.4 GB at production scale) instead of the full tile array + all
         probabilities (~11 GB) — materializing those made a 2-knee batch
         spill HBM on a 16 GB chip (measured 3x slowdown)."""
-        partition = self.partition
+        partition = self.partition_for(volume_shape)
         model = self.model
         n_classes = model.spec.n_classes
         eff = partition.effective_size
@@ -146,6 +212,9 @@ class Segmenter3DInPatchClassWise(Segmenter):
         tz, ty, tx = partition.tile_size
         grid = partition.grid_shape(volume_shape)
         n_tiles = partition.num_tiles(volume_shape)
+        # fewer tiles than the batch size (auto z-slabs: 5 at production
+        # scale) would pad the conv batch with duplicate tiles — clamp
+        batch_size = min(batch_size, n_tiles)
         n_batches = math.ceil(n_tiles / batch_size)
         n_padded = n_batches * batch_size
         crop = tuple(self.config.get("overlap_size", (16, 16, 8)))

@@ -123,36 +123,70 @@ class CohortManifest:
         return counts
 
 
+def _query_host_info_bounded(timeout: float):
+    """jax.process_index()/count() on a daemon thread with a deadline:
+    converts "device init blocks indefinitely" into a bounded wait. Returns
+    None on timeout (the orphaned daemon thread is abandoned)."""
+    import threading
+
+    out = {}
+
+    def q():
+        try:
+            import jax
+
+            out["v"] = (jax.process_index(), jax.process_count())
+        except Exception:  # noqa: BLE001
+            out["v"] = (0, 1)
+
+    t = threading.Thread(target=q, daemon=True)
+    t.start()
+    t.join(timeout)
+    return out.get("v")
+
+
 def _host_info():
     """(process_index, process_count) without hanging on device discovery.
 
     jax.process_index() instantiates the platform client if none exists.
     Under the single-chip axon TPU tunnel that init BLOCKS INDEFINITELY when
-    the tunnel is degraded — and a single-chip tunnel is never multi-host —
-    so there we only consult jax when a backend is already up in this
-    process or jax.distributed was explicitly initialized. Everywhere else
-    (real TPU pods, CPU/GPU) the normal query runs so multi-host
-    auto-detection keeps working. The backend-up probe uses private jax
-    attributes; on drift it falls back to querying (never to a wrong
-    (0, 1))."""
+    the tunnel is degraded — and a single-chip tunnel is never multi-host.
+    Documented fallback chain:
+
+    1. `jax.distributed.is_initialized()` (PUBLIC API) — multi-host was set
+       up explicitly, so the query is always safe and correct.
+    2. Not under the single-chip tunnel (real pods, CPU/GPU): plain query —
+       multi-host auto-detection keeps working.
+    3. Under the tunnel: consult the backend registry WITHOUT instantiating
+       it. Only a private attr can do that (`jax._src.xla_bridge._backends`;
+       every public accessor creates a client) — guarded, used as a fast
+       path only.
+    4. If that attr drifts away in a jax upgrade: a bounded-timeout query
+       (15 s) instead of either a hang or a blind (0, 1).
+    """
     import os
 
     try:
         import jax
 
-        if os.environ.get("PALLAS_AXON_POOL_IPS"):  # single-chip tunnel
-            try:
-                from jax._src import distributed, xla_bridge
+        if jax.distributed.is_initialized():  # public API, never blocks
+            return jax.process_index(), jax.process_count()
+        if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+            return jax.process_index(), jax.process_count()
+        # single-chip tunnel: never force device discovery
+        try:
+            from jax._src import xla_bridge
 
-                backend_up = bool(getattr(xla_bridge, "_backends", None))
-                distributed_up = (
-                    getattr(distributed.global_state, "client", None) is not None
-                )
-            except Exception:  # noqa: BLE001 — private-API drift: query anyway
-                backend_up = distributed_up = True
-            if not (backend_up or distributed_up):
-                return 0, 1
-        return jax.process_index(), jax.process_count()
+            registry = getattr(xla_bridge, "_backends", None)
+        except Exception:  # noqa: BLE001 — module moved
+            registry = None
+        if isinstance(registry, dict):
+            if not registry:
+                return 0, 1  # no backend up — don't init one just to ask
+            return jax.process_index(), jax.process_count()
+        # private-attr drift: bounded query, (0, 1) if it hangs
+        v = _query_host_info_bounded(15.0)
+        return v if v is not None else (0, 1)
     except Exception:  # noqa: BLE001
         return 0, 1
 
@@ -176,7 +210,7 @@ class CohortRunner:
         scheduling: str = "dynamic",
         claim_ttl: float = 1800.0,
         claim_heartbeat: Optional[float] = None,
-        claim_settle: float = 0.1,
+        claim_settle="auto",
         poll_seconds: float = 2.0,
         batch_pipeline: Optional[Callable[[List[Any]], List[dict]]] = None,
         batch_size: int = 1,
@@ -199,8 +233,13 @@ class CohortRunner:
         claim_settle: pause between staking a claim and resolving the winner
         — must exceed the shared filesystem's write-visibility lag so
         contemporaneous claims see each other (claim timestamps are taken
-        before their writes land). 0.1 s is ample for local disks; raise on
-        laggy network filesystems.
+        before their writes land). "auto" (default) measures the manifest
+        directory's write->reopen-read latency once at construction and
+        sets max(20x worst probe, 0.1 s), capped at 2 s — local disks land
+        on the 0.1 s floor, laggy network filesystems scale up. A single
+        host cannot observe CROSS-host visibility on asynchronously-
+        replicated filesystems, so the safety factor is generous and an
+        explicit float still overrides.
 
         claim_heartbeat: while executing claimed items, a daemon thread
         re-appends fresh claim records every `claim_heartbeat` seconds —
@@ -238,7 +277,10 @@ class CohortRunner:
         self.claim_heartbeat = (
             min(claim_ttl / 3.0, 60.0) if claim_heartbeat is None else claim_heartbeat
         )
-        self.claim_settle = claim_settle
+        self.claim_settle = (
+            self._measure_claim_settle() if claim_settle == "auto"
+            else float(claim_settle)
+        )
         self.poll_seconds = poll_seconds
         self.batch_pipeline = batch_pipeline
         self.batch_size = max(int(batch_size), 1)
@@ -247,6 +289,42 @@ class CohortRunner:
         self._prefetched: Dict[str, Any] = {}  # key -> Future
         if self.batch_size > 1 and batch_pipeline is None:
             raise ValueError("batch_size > 1 requires a batch_pipeline")
+
+    def _measure_claim_settle(self) -> float:
+        """Calibrate the claim settle delay to the manifest filesystem: probe
+        write+fsync -> reopen-read latency 3x, take the worst, apply a 20x
+        safety factor, clamp to [0.1 s, 2 s]. See the constructor docstring
+        for why this is a lower bound on cross-host visibility."""
+        import os
+        import uuid
+
+        probe = self.manifest.path.parent / f".settle_probe_{uuid.uuid4().hex}"
+        worst = 0.0
+        try:
+            probe.parent.mkdir(parents=True, exist_ok=True)
+            for i in range(3):
+                payload = f"{self.host}:{i}"
+                t0 = time.time()
+                with open(probe, "w") as f:
+                    f.write(payload)
+                    f.flush()
+                    os.fsync(f.fileno())
+                while time.time() - t0 < 2.0:
+                    try:
+                        if probe.read_text() == payload:
+                            break
+                    except OSError:
+                        pass
+                    time.sleep(0.005)
+                worst = max(worst, time.time() - t0)
+        except OSError:
+            return 0.1  # unprobeable filesystem: the local-disk floor
+        finally:
+            try:
+                probe.unlink()
+            except OSError:
+                pass
+        return float(min(max(worst * 20.0, 0.1), 2.0))
 
     # -- item state helpers -------------------------------------------------------
 

@@ -588,3 +588,65 @@ class TestSampler:
             model, iter(sampler), num_steps=4, learning_rate=1e-2
         )
         assert np.isfinite(losses).all()
+
+
+class TestClaimSettleCalibration:
+    def test_auto_settle_in_bounds(self, tmp_path):
+        from oai_analysis_2_tpu.parallel.cohort import CohortRunner
+
+        r = CohortRunner(lambda it: {}, manifest_path=tmp_path / "m.json",
+                         verbose=False)  # claim_settle defaults to "auto"
+        assert 0.1 <= r.claim_settle <= 2.0
+        # local tmpfs/disk probes land on (or near) the floor
+        assert r.claim_settle < 1.0
+        # no probe residue in the manifest directory
+        assert not list(tmp_path.glob(".settle_probe_*"))
+
+    def test_explicit_settle_respected(self, tmp_path):
+        from oai_analysis_2_tpu.parallel.cohort import CohortRunner
+
+        r = CohortRunner(lambda it: {}, manifest_path=tmp_path / "m.json",
+                         verbose=False, claim_settle=0.25)
+        assert r.claim_settle == 0.25
+
+
+class TestHostInfoFallbackChain:
+    def test_tunnel_without_backend_returns_single_host(self, monkeypatch):
+        """Under the single-chip tunnel with no backend up, _host_info must
+        not instantiate a device client (which can block indefinitely)."""
+        from oai_analysis_2_tpu.parallel import cohort
+
+        monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "127.0.0.1")
+        import jax
+        from jax._src import xla_bridge
+
+        monkeypatch.setattr(xla_bridge, "_backends", {}, raising=False)
+        calls = []
+        monkeypatch.setattr(jax, "process_index", lambda: calls.append(1) or 0)
+        assert cohort._host_info() == (0, 1)
+        assert not calls  # never queried -> never instantiated a client
+
+    def test_distributed_initialized_uses_public_api(self, monkeypatch):
+        from oai_analysis_2_tpu.parallel import cohort
+
+        import jax
+
+        monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "127.0.0.1")
+        monkeypatch.setattr(jax.distributed, "is_initialized", lambda: True)
+        monkeypatch.setattr(jax, "process_index", lambda: 3)
+        monkeypatch.setattr(jax, "process_count", lambda: 8)
+        assert cohort._host_info() == (3, 8)
+
+    def test_private_attr_drift_bounded_query(self, monkeypatch):
+        """If jax._src.xla_bridge._backends disappears, the chain falls back
+        to a bounded-timeout query rather than a hang or a blind (0, 1)."""
+        from oai_analysis_2_tpu.parallel import cohort
+
+        import jax
+        from jax._src import xla_bridge
+
+        monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "127.0.0.1")
+        monkeypatch.delattr(xla_bridge, "_backends", raising=False)
+        monkeypatch.setattr(jax, "process_index", lambda: 1)
+        monkeypatch.setattr(jax, "process_count", lambda: 4)
+        assert cohort._host_info() == (1, 4)
