@@ -94,6 +94,11 @@ def main():
         i = argv.index("--gicon-grad")
         gicon_grad = argv[i + 1]
         del argv[i : i + 2]
+    early_stop = None  # plateau early-stop tolerance (None = fixed step counts)
+    if "--early-stop" in argv:
+        i = argv.index("--early-stop")
+        early_stop = float(argv[i + 1])
+        del argv[i : i + 2]
     weights_path = None
     if "--weights" in argv:
         i = argv.index("--weights")
@@ -158,14 +163,14 @@ def main():
             fixed, moving, model=GradICON(cfg), params=params,
             config=cfg, finetune_steps=finetune,
             finetune_scales=ft_scales, finetune_lr=ft_lr,
-            gicon_grad=gicon_grad,
+            gicon_grad=gicon_grad, early_stop=early_stop,
         )
     else:
         cfg = GradICONConfig(grid_shape=net_grid) if net_grid else GradICONConfig()
         phi_ab, _ = register_pair(
             fixed, moving, config=cfg,
             instance_scales=inst_scales, instance_steps=inst_steps,
-            gicon_grad=gicon_grad,
+            gicon_grad=gicon_grad, early_stop=early_stop,
         )
     jax.block_until_ready(phi_ab.field)
     dt = time.time() - t0
@@ -185,7 +190,9 @@ def main():
         f"network+ft{finetune}@scales{ft_scales}lr{ft_lr}"
         if use_network
         else "instance"
-    ) + (f"+gicon:{gicon_grad}" if gicon_grad else "")
+    ) + (f"+gicon:{gicon_grad}" if gicon_grad else "") + (
+        f"+es{early_stop}" if early_stop is not None else ""
+    )
     print(f"vol {shape}; net grid {cfg.grid_shape}; registration ({mode}) {dt:.1f}s")
     print(f"image MSE: before {before:.5f} -> after {after:.5f} ({after / before:.2%})")
     print(f"field error in anatomy (mm, GT amplitude {amp}): "

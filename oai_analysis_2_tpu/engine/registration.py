@@ -143,6 +143,7 @@ def register_pair(
     finetune_lr: float = 0.15,
     b_on_grid: Optional[jax.Array] = None,
     gicon_grad: Optional[str] = None,
+    early_stop: Optional[float] = None,
 ) -> Tuple[DisplacementField, DisplacementField]:
     """Register two physical-space images; returns (phi_AB, phi_BA) as
     displacement fields. phi_AB warps A-grid data onto B's grid (it maps
@@ -161,7 +162,10 @@ def register_pair(
 
     gicon_grad: GradICON-penalty gradient mode for the instance/fine-tune
     steps ("exact" | "alternating"); None = the package default
-    (models.gradicon.INSTANCE_DEFAULT_GICON_GRAD)."""
+    (models.gradicon.INSTANCE_DEFAULT_GICON_GRAD).
+
+    early_stop: plateau tolerance for the instance/fine-tune loops (None =
+    fixed step counts); see models.gradicon.register_pair_instance."""
     from oai_analysis_2_tpu.models.gradicon import INSTANCE_DEFAULT_GICON_GRAD
 
     gicon_grad = INSTANCE_DEFAULT_GICON_GRAD if gicon_grad is None else gicon_grad
@@ -198,6 +202,7 @@ def register_pair(
                 init_ab=nmap_ab,
                 init_ba=nmap_ba,
                 gicon_grad=gicon_grad,
+                early_stop=early_stop,
             )
     else:
         nmap_ab, nmap_ba = register_pair_instance(
@@ -209,6 +214,7 @@ def register_pair(
             lambda_reg=lambda_reg,
             diffusion_weight=diffusion_weight,
             gicon_grad=gicon_grad,
+            early_stop=early_stop,
         )
 
     # nmap_ab: A-grid coords -> B-grid coords (pullback of B onto A).
@@ -243,6 +249,7 @@ class ICON_Registration:
         finetune_lr: float = 0.15,
         verbose: bool = False,
         gicon_grad: Optional[str] = None,
+        early_stop: Optional[float] = None,
     ):
         from oai_analysis_2_tpu.models.gradicon import (
             default_gradicon_weights_path,
@@ -267,6 +274,9 @@ class ICON_Registration:
         # GradICON gradient mode for instance/fine-tune steps ("exact" |
         # "alternating" | None = package default); see gradicon_penalty_alternating.
         self.gicon_grad = gicon_grad
+        # plateau early-stop tolerance for instance/fine-tune steps (None =
+        # fixed step counts); see models.gradicon._scale_run_fn early_stop
+        self.early_stop = early_stop
         self.model: Optional[GradICON] = None
         self.params: Optional[List[dict]] = None
 
@@ -396,5 +406,6 @@ class ICON_Registration:
             finetune_lr=self.finetune_lr,
             b_on_grid=b_on_grid,
             gicon_grad=self.gicon_grad,
+            early_stop=self.early_stop,
         )
         return phi_ab

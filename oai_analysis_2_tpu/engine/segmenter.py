@@ -90,9 +90,19 @@ class Segmenter3DInPatchClassWise(Segmenter):
                 f"inference_patch_size {tile} must be divisible by {self.pool_factor} "
                 f"(the {training_config['model']} pooling ladder)"
             )
-        self.partition = Partition(
-            tile, self.config.get("overlap_size", (16, 16, 8)), padding_mode="reflect"
-        )
+        try:
+            self.partition = Partition(
+                tile, self.config.get("overlap_size", (16, 16, 8)), padding_mode="reflect"
+            )
+        except ValueError:
+            # Under "auto" the training-patch tiling is only the FALLBACK —
+            # a train patch too small for the configured overlap (e.g. a
+            # 32x32x16 patch with the default (16,16,8)) must not block
+            # configs the auto z-slabs serve fine. Explicit/"train" tilings
+            # keep the strict error.
+            if not self.auto_tile:
+                raise
+            self.partition = None
         setting = dict(training_config.get("model_setting", {}))
         if "in_channel" in setting:
             setting["in_channels"] = setting.pop("in_channel")
@@ -132,7 +142,16 @@ class Segmenter3DInPatchClassWise(Segmenter):
             return self.partition
         key = tuple(int(s) for s in volume_shape)
         if key not in self._auto_partitions:
-            self._auto_partitions[key] = self._build_auto_partition(key) or self.partition
+            part = self._build_auto_partition(key) or self.partition
+            if part is None:
+                ov = tuple(self.config.get("overlap_size", (16, 16, 8)))
+                raise ValueError(
+                    f"no valid inference tiling for volume {key}: the training "
+                    f"patch {self.patch_size} does not exceed 2x overlap {ov} "
+                    f"and no auto z-slab qualified — pass a larger explicit "
+                    f"inference_patch_size or a smaller overlap_size"
+                )
+            self._auto_partitions[key] = part
         return self._auto_partitions[key]
 
     def _build_auto_partition(self, volume_shape) -> Optional[Partition]:
@@ -158,7 +177,9 @@ class Segmenter3DInPatchClassWise(Segmenter):
                               volume_shape):
             if o > s - 1 or (e * g + o - s) > s - 1:
                 return None
-        if cand.num_tiles(volume_shape) >= self.partition.num_tiles(volume_shape):
+        if self.partition is not None and cand.num_tiles(
+            volume_shape
+        ) >= self.partition.num_tiles(volume_shape):
             return None
         return cand
 

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -401,6 +401,7 @@ def register_pair_instance(
     init_ab: jax.Array = None,
     init_ba: jax.Array = None,
     gicon_grad: str = INSTANCE_DEFAULT_GICON_GRAD,
+    early_stop: Optional[float] = None,
 ):
     """Symmetric multiscale instance-optimization registration.
 
@@ -416,6 +417,12 @@ def register_pair_instance(
     init_ab / init_ba: optional full-grid coordinate maps to start from —
     the per-pair fine-tuning mode on top of a trained network's prediction
     (the reference's icon_registration `finetune_steps`).
+
+    early_stop: optional plateau tolerance in (0, 1). Each scale then runs a
+    BOUNDED `lax.while_loop` (cap = steps_per_scale) that exits once the EMA
+    of positive per-step loss drops falls below `early_stop` x its peak —
+    adaptive budget: easy pairs/scales stop early, hard ones use the full
+    count. See `_scale_run_fn` for the criterion.
 
     This is the out-of-the-box registration path (the reference requires a
     1.2 GB pretrained download; this path requires nothing) — and it runs
@@ -453,10 +460,16 @@ def register_pair_instance(
             float(diffusion_weight),
             bool(verbose),
             str(gicon_grad),
+            None if early_stop is None else float(early_stop),
         )
         base_ab = resize_field(phi_ab, shape_s)
         base_ba = resize_field(phi_ba, shape_s)
-        phi_ab, phi_ba = runner(base_ab, base_ba, a_s, b_s)
+        if early_stop is None:
+            phi_ab, phi_ba = runner(base_ab, base_ba, a_s, b_s)
+        else:
+            phi_ab, phi_ba, steps = runner(base_ab, base_ba, a_s, b_s)
+            if verbose:
+                print(f"scale {scale}: {int(steps)}/{int(n_steps)} steps")
 
     return phi_ab, phi_ba
 
@@ -484,13 +497,22 @@ def _scale_run_fn(
     lambda_reg: float,
     diffusion_weight: float,
     gicon_grad: str = INSTANCE_DEFAULT_GICON_GRAD,
+    early_stop: Optional[float] = None,
 ):
     """The PURE per-scale instance-optimization program
     (base_ab, base_ba, a_s, b_s) -> (phi_ab, phi_ba): init + n_steps of
     fused Adam + compose + resize back to full resolution. Returned
     unjitted (plus the single opt step for verbose paths) so the
     single-pair path can jit it and the multi-chip batch pipeline can
-    vmap it over a knee batch (parallel/batch.py)."""
+    vmap it over a knee batch (parallel/batch.py).
+
+    early_stop: if set, run a `lax.while_loop` (bounded by n_steps) that
+    exits once the per-step loss drop plateaus — recent progress (EMA of
+    the drop, beta 0.85) falls below `early_stop` x the progress rate when
+    the window opened (the EMA at min_steps = max(6, n_steps//4)). The
+    criterion is a RATIO of same-scale quantities, so it is invariant to
+    loss magnitude across scales/volumes. Returns (phi_ab, phi_ba,
+    steps_taken) in this mode."""
     import optax
 
     sim_fn = make_similarity(similarity, lncc_window)
@@ -518,6 +540,11 @@ def _scale_run_fn(
         updates, opt_state = optimizer.update(g, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, l
 
+    def _finish(params, base_ab, base_ba):
+        phi_ab = resize_field(compose(base_ab, ident_s + params["u_ab"]), full_shape)
+        phi_ba = resize_field(compose(base_ba, ident_s + params["u_ba"]), full_shape)
+        return phi_ab, phi_ba
+
     def run(base_ab, base_ba, a_s, b_s):
         u0 = jnp.zeros(shape_s + (3,), jnp.float32)
         params = {"u_ab": u0, "u_ba": u0}
@@ -529,11 +556,51 @@ def _scale_run_fn(
             return (p2, o2)
 
         params, _ = jax.lax.fori_loop(0, n_steps, body, (params, opt_state))
-        phi_ab = resize_field(compose(base_ab, ident_s + params["u_ab"]), full_shape)
-        phi_ba = resize_field(compose(base_ba, ident_s + params["u_ba"]), full_shape)
-        return phi_ab, phi_ba
+        return _finish(params, base_ab, base_ba)
 
-    return run, opt_step
+    if early_stop is None:
+        return run, opt_step
+
+    # Bounded while_loop with plateau exit. Progress = EMA of the POSITIVE
+    # per-step loss drops (Adam at lr~1.2 voxels explodes the loss for the
+    # first few steps before descending — raw drops would leave the EMA
+    # deeply negative exactly when the stop window opens). The reference
+    # rate is the PEAK progress EMA seen so far, so (a) the warm-up spike
+    # never poisons it, and (b) a run that starts converged (fine-tune of a
+    # good init) has peak~0 and exits right after min_steps.
+    min_steps = max(6, n_steps // 4)
+    tol = float(early_stop)
+    beta = 0.85
+
+    def run_early(base_ab, base_ba, a_s, b_s):
+        u0 = jnp.zeros(shape_s + (3,), jnp.float32)
+        params = {"u_ab": u0, "u_ba": u0}
+        opt_state = optimizer.init(params)
+
+        def cond(carry):
+            _, _, i, _, ema, peak = carry
+            return (i < n_steps) & ((i <= min_steps) | (ema > tol * peak))
+
+        def body(carry):
+            p, o, i, last_l, ema, peak = carry
+            p2, o2, l = opt_step(p, o, base_ab, base_ba, a_s, b_s)
+            drop = jnp.maximum(jnp.where(i == 0, 0.0, last_l - l), 0.0)
+            ema2 = jnp.where(i <= 1, drop, beta * ema + (1.0 - beta) * drop)
+            return (p2, o2, i + 1, l, ema2, jnp.maximum(peak, ema2))
+
+        carry = (
+            params,
+            opt_state,
+            jnp.int32(0),
+            jnp.float32(0.0),
+            jnp.float32(0.0),
+            jnp.float32(0.0),
+        )
+        params, _, steps, _, _, _ = jax.lax.while_loop(cond, body, carry)
+        phi_ab, phi_ba = _finish(params, base_ab, base_ba)
+        return phi_ab, phi_ba, steps
+
+    return run_early, opt_step
 
 
 @functools.lru_cache(maxsize=64)
@@ -548,6 +615,7 @@ def _scale_runner(
     diffusion_weight: float,
     verbose: bool,
     gicon_grad: str = INSTANCE_DEFAULT_GICON_GRAD,
+    early_stop: Optional[float] = None,
 ):
     """One CACHED jitted program for a whole scale of instance optimization.
 
@@ -559,7 +627,7 @@ def _scale_runner(
     the compiled program."""
     run, opt_step = _scale_run_fn(
         shape_s, full_shape, n_steps, lr, lncc_window, similarity,
-        lambda_reg, diffusion_weight, gicon_grad,
+        lambda_reg, diffusion_weight, gicon_grad, early_stop,
     )
     shape_s = tuple(shape_s)
 
@@ -575,17 +643,35 @@ def _scale_runner(
     optimizer = optax.adam(lr / float(max(shape_s)))
     ident_s = _identity_map_np(shape_s)
 
+    # host-side mirror of run_early's plateau criterion (same constants)
+    min_steps = max(6, n_steps // 4)
+    beta = 0.85
+
     def run_verbose(base_ab, base_ba, a_s, b_s):
         u0 = jnp.zeros(shape_s + (3,), jnp.float32)
         params = {"u_ab": u0, "u_ba": u0}
         opt_state = optimizer.init(params)
         step = verbose_step
+        last_l, ema, peak = 0.0, 0.0, 0.0
+        taken = n_steps
         for i in range(n_steps):
             params, opt_state, l = step(params, opt_state, base_ab, base_ba, a_s, b_s)
             if i % 20 == 0:
                 print(f"scale shape {shape_s} step {i}: loss {float(l):.4f}")
+            if early_stop is not None:
+                l = float(l)
+                drop = max(0.0 if i == 0 else last_l - l, 0.0)
+                ema = drop if i <= 1 else beta * ema + (1.0 - beta) * drop
+                peak = max(peak, ema)
+                last_l = l
+                if i > min_steps and ema <= early_stop * peak:
+                    taken = i + 1
+                    print(f"scale shape {shape_s}: early stop at step {taken}")
+                    break
         phi_ab = resize_field(compose(base_ab, ident_s + params["u_ab"]), full_shape)
         phi_ba = resize_field(compose(base_ba, ident_s + params["u_ba"]), full_shape)
+        if early_stop is not None:
+            return phi_ab, phi_ba, jnp.int32(taken)
         return phi_ab, phi_ba
 
     return run_verbose

@@ -122,6 +122,40 @@ class TestInstanceRegistration:
         after = float(np.mean((a - warped_b) ** 2))
         assert after < 0.3 * before
 
+    def test_early_stop_matches_full_budget_and_bounds_steps(self):
+        """The plateau early-stop (while_loop) must (a) land near the
+        fixed-budget solution on an easy problem and (b) actually run the
+        bounded program — verified via the steps_taken output of the cached
+        per-scale runner."""
+        from oai_analysis_2_tpu.models.gradicon import _scale_runner
+
+        shape = (16, 32, 32)
+        a = _blob(shape, (8, 16, 16))
+        b = _blob(shape, (8, 16, 20))
+        before = float(np.mean((a - b) ** 2))
+        phi_ab, _ = register_pair_instance(
+            jnp.asarray(a), jnp.asarray(b), scales=(4, 2), steps_per_scale=40,
+            early_stop=0.05,
+        )
+        warped_b = np.asarray(warp(jnp.asarray(b), phi_ab))
+        after = float(np.mean((a - warped_b) ** 2))
+        assert after < 0.3 * before  # same contract as the fixed-budget test
+
+        # direct per-scale check: an easy pure-translation at coarse scale
+        # plateaus well before the 200-step cap
+        runner = _scale_runner(
+            (8, 16, 16), shape, 200, 1.2, 5, "lncc+mse", 0.5, 0.3, False,
+            "alternating", 0.05,
+        )
+        from oai_analysis_2_tpu.models.gradicon import downsample2x, identity_map
+
+        a_s = downsample2x(jnp.asarray(a))
+        b_s = downsample2x(jnp.asarray(b))
+        ident = identity_map((8, 16, 16))
+        pab, pba, steps = runner(ident, ident, a_s, b_s)
+        assert pab.shape == shape + (3,)
+        assert 6 < int(steps) < 200, int(steps)
+
     def test_network_forward_shapes(self):
         import jax
 
@@ -216,14 +250,13 @@ class TestShippedWeights:
         must pick the trained-network path (the reference's pretrained
         behavior, registration.py:20) and expose loaded params."""
         from oai_analysis_2_tpu.engine.registration import ICON_Registration
-        from oai_analysis_2_tpu.models.gradicon import (
-            GradICONConfig,
-            default_gradicon_weights_path,
-        )
+        from oai_analysis_2_tpu.models.gradicon import default_gradicon_weights_path
 
         if not default_gradicon_weights_path().exists():
             pytest.skip("weights not shipped in this checkout")
-        reg = ICON_Registration(mode="auto", config=GradICONConfig())
+        # config=None: adopt the checkpoint's recorded architecture, so this
+        # test survives retrains at any width (w16 -> w24 shipped in round 4)
+        reg = ICON_Registration(mode="auto", config=None)
         assert reg.mode == "network"
         assert reg.params is not None and len(reg.params) == 3
         # stage params carry the trained (nonzero) displacement heads
