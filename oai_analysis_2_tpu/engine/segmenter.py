@@ -119,8 +119,20 @@ class Segmenter3DInPatchClassWise(Segmenter):
 
     # -- inference tiling ----------------------------------------------------------
 
-    def partition_for(self, volume_shape: Tuple[int, int, int]) -> Partition:
-        """The tiling used for one (z, y, x) volume shape.
+    # Per-scan-step conv budget, in input voxels across ALL tiles in the
+    # step (tile_voxels x scan_batch x n_knees). Measured-safe regimes on a
+    # 16 GB v5e chip: one 416x416x48 z-slab per step (8.3M, 1.65 s/knee)
+    # and eight (160,160,48) training tiles per step (9.83M, 2.4 s/knee);
+    # FIVE slabs in one step (41.5M) built a 21 GB f32 fusion at the wide
+    # decoder level and OOMed. 10M keeps every proven-good lowering and
+    # pins slabs to scan batch 1.
+    STEP_VOXEL_BUDGET = 10_000_000
+
+    def partition_for(
+        self, volume_shape: Tuple[int, int, int], n_knees: int = 1
+    ) -> Partition:
+        """The tiling used for one (z, y, x) volume shape in an
+        `n_knees`-wide batch.
 
         With `inference_patch_size` absent/"auto" (default) this builds
         x,y-spanning z-slabs: one tile covers the whole padded x,y extent and
@@ -134,15 +146,16 @@ class Segmenter3DInPatchClassWise(Segmenter):
         training tiling when the slab is unsafe or not a win:
 
           * reflect padding would exceed a dim's extent (tiny volumes),
-          * slab voxels > 9.5M — the (416,416,96) slab OOMs the XLA
-            compiler at production scale,
+          * slab voxels x n_knees > STEP_VOXEL_BUDGET — the slab must be
+            runnable at scan batch 1 (one slab per step) without blowing
+            the step's conv-fusion memory,
           * no tile-count win over the training tiling.
         """
         if not getattr(self, "auto_tile", False):
             return self.partition
-        key = tuple(int(s) for s in volume_shape)
+        key = tuple(int(s) for s in volume_shape) + (int(n_knees),)
         if key not in self._auto_partitions:
-            part = self._build_auto_partition(key) or self.partition
+            part = self._build_auto_partition(key[:3], n_knees) or self.partition
             if part is None:
                 ov = tuple(self.config.get("overlap_size", (16, 16, 8)))
                 raise ValueError(
@@ -154,7 +167,7 @@ class Segmenter3DInPatchClassWise(Segmenter):
             self._auto_partitions[key] = part
         return self._auto_partitions[key]
 
-    def _build_auto_partition(self, volume_shape) -> Optional[Partition]:
+    def _build_auto_partition(self, volume_shape, n_knees: int = 1) -> Optional[Partition]:
         pool = self.pool_factor
         ov = tuple(self.config.get("overlap_size", (16, 16, 8)))  # x, y, z
         d, h, w = volume_shape
@@ -165,7 +178,7 @@ class Segmenter3DInPatchClassWise(Segmenter):
         tx = up(w + 2 * ov[0])
         ty = up(h + 2 * ov[1])
         tz = min(up(self.patch_size[2] + 2 * ov[2]), up(d + 2 * ov[2]))
-        if tx * ty * tz > 9_500_000:
+        if tx * ty * tz * n_knees > self.STEP_VOXEL_BUDGET:
             return None
         if any(t - 2 * o <= 0 for t, o in zip((tx, ty, tz), ov)):
             return None
@@ -182,6 +195,22 @@ class Segmenter3DInPatchClassWise(Segmenter):
         ) >= self.partition.num_tiles(volume_shape):
             return None
         return cand
+
+    @classmethod
+    def _step_batch(
+        cls, batch_size: int, n_tiles: int, tile_voxels: int, n_knees: int
+    ) -> int:
+        """Clamp the scan batch to (a) the tile count — fewer tiles than the
+        batch (auto z-slabs: 5 at production scale) would pad the conv batch
+        with duplicate tiles — and (b) the per-step voxel budget: scan batch
+        8 with z-slab tiles built a 21 GB decoder fusion and OOMed the 16 GB
+        chip (the round-3 slab numbers were measured at scan batch 1). The
+        knee axis multiplies per-step work identically, so it divides the
+        budget too."""
+        return max(
+            1,
+            min(batch_size, n_tiles, cls.STEP_VOXEL_BUDGET // (tile_voxels * n_knees)),
+        )
 
     # -- the fused device-side pipeline ------------------------------------------
 
@@ -225,7 +254,7 @@ class Segmenter3DInPatchClassWise(Segmenter):
         (~0.4 GB at production scale) instead of the full tile array + all
         probabilities (~11 GB) — materializing those made a 2-knee batch
         spill HBM on a 16 GB chip (measured 3x slowdown)."""
-        partition = self.partition_for(volume_shape)
+        partition = self.partition_for(volume_shape, n_knees)
         model = self.model
         n_classes = model.spec.n_classes
         eff = partition.effective_size
@@ -233,9 +262,7 @@ class Segmenter3DInPatchClassWise(Segmenter):
         tz, ty, tx = partition.tile_size
         grid = partition.grid_shape(volume_shape)
         n_tiles = partition.num_tiles(volume_shape)
-        # fewer tiles than the batch size (auto z-slabs: 5 at production
-        # scale) would pad the conv batch with duplicate tiles — clamp
-        batch_size = min(batch_size, n_tiles)
+        batch_size = self._step_batch(batch_size, n_tiles, tz * ty * tx, n_knees)
         n_batches = math.ceil(n_tiles / batch_size)
         n_padded = n_batches * batch_size
         crop = tuple(self.config.get("overlap_size", (16, 16, 8)))

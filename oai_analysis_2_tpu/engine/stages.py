@@ -33,8 +33,15 @@ def image_normalize(
 
 
 def readimage(image_path) -> Image:
-    """Load a volume from zarr or NIfTI (reference readimage,
-    dask_processing.py:29-43, reads zarr via xarray->ITK)."""
+    """Load a volume from zarr (local, http(s)://, or s3://) or NIfTI
+    (reference readimage, dask_processing.py:29-43, reads zarr via
+    xarray->ITK; the Coiled cohort passes s3:// zarr URLs directly)."""
+    from oai_analysis_2_tpu.utils.stores import is_remote
+
+    if is_remote(image_path):
+        from oai_analysis_2_tpu.utils.zarr_io import read_zarr_volume
+
+        return read_zarr_volume(image_path)
     p = Path(image_path)
     if p.suffix in (".zarr",) or (p / ".zarray").exists() or (p / "image" / ".zarray").exists():
         from oai_analysis_2_tpu.utils.zarr_io import read_zarr_volume

@@ -83,12 +83,38 @@ class TestAutoTileGeometry:
         assert seg.partition.num_tiles((160, 384, 384)) == 160  # training tiling
 
     def test_oversize_slab_falls_back(self, tmp_path):
-        """A volume whose x,y span would exceed the 9.5M-voxel compiler
-        budget keeps the training tiling."""
+        """A volume whose x,y span would exceed the per-step voxel budget
+        keeps the training tiling."""
         seg = _make_segmenter(tmp_path, None, model="UNet",
                               patch_size=(128, 128, 32), overlap=(16, 16, 8))
         part = seg.partition_for((160, 768, 768))
         assert part is seg.partition
+
+    def test_knee_batch_divides_slab_budget(self, tmp_path):
+        """The auto slab must be runnable at scan batch 1 with ALL knees in
+        the step: at the production shape a 2-knee batch already exceeds the
+        budget (2 x 8.3M voxels), so batched runs keep the training tiling
+        while the single-knee path keeps the measured slab."""
+        seg = _make_segmenter(tmp_path, None, model="UNet",
+                              patch_size=(128, 128, 32), overlap=(16, 16, 8))
+        assert seg.partition_for((160, 384, 384), n_knees=1).num_tiles(
+            (160, 384, 384)
+        ) == 5
+        assert seg.partition_for((160, 384, 384), n_knees=2) is seg.partition
+
+    def test_step_batch_budget_clamp(self):
+        """Per-step conv voxels (tile x scan_batch x knees) never exceed
+        STEP_VOXEL_BUDGET: the bench OOM was 5 z-slabs in one step (41.5M,
+        a 21 GB fusion); proven-good regimes (1 slab; 8 training tiles;
+        8-knee training-tile batches at batch 1) must be preserved."""
+        cls = Segmenter3DInPatchClassWise
+        slab = 48 * 416 * 416        # 8.3M — the production auto slab
+        train = 48 * 160 * 160       # 1.23M — training patch + overlap
+        assert cls._step_batch(8, 5, slab, 1) == 1      # was 5 -> OOM
+        assert cls._step_batch(8, 160, train, 1) == 8   # proven 2.4 s config
+        assert cls._step_batch(8, 160, train, 8) == 1   # B=8 cohort batch
+        assert cls._step_batch(8, 160, train, 2) == 4
+        assert cls._step_batch(8, 3, train, 1) == 3     # tile-count clamp
 
     def test_tiny_volume_falls_back(self, tmp_path):
         """Reflect-pad safety: dims too small for the slab's padding keep
