@@ -355,28 +355,13 @@ def main():
         batch8_thickness = t8.get("thickness_batch", 0.0)
         v5e8_seconds_per_batch = batch8_device / 8.0 + batch8_thickness
         projected_v5e8 = 8 * 3600.0 / max(v5e8_seconds_per_batch, 1e-9)
-
-        # software-pipelined cohort loop (run_batches): batch k's thickness
-        # bookkeeping overlaps batch k+1's async-dispatched device stages, so
-        # steady-state per-batch cost tends to max(device, thickness), not
-        # their sum. Measure the real one-chip overlap over 3 batches.
-        def timed_b8_pipelined():
-            t0 = time.time()
-            bpipe.run_batches([b8, b8, b8])
-            return (time.time() - t0) / 3.0
-
-        batch8_pipelined_per_batch = _retry(timed_b8_pipelined, "batch8 pipelined")
+        # record the measured B=8 numbers BEFORE the (riskier) pipelined
+        # probe — r04's first run lost them when the pipelined probe OOMed
         result_json.update(
             {
                 "batch8_seconds_total": round(batch8_total, 2),
                 "batch8_device_seconds": round(batch8_device, 2),
                 "batch8_thickness_seconds": round(batch8_thickness, 2),
-                "batch8_pipelined_seconds_per_batch": round(
-                    batch8_pipelined_per_batch, 2
-                ),
-                "batch8_overlap_gain": round(
-                    batch8_total / max(batch8_pipelined_per_batch, 1e-9), 3
-                ),
                 "projected_v5e8_knees_per_hour": round(projected_v5e8, 1),
                 "projected_v5e8_pipelined_knees_per_hour": round(
                     8 * 3600.0 / max(batch8_device / 8.0, batch8_thickness, 1e-9), 1
@@ -389,15 +374,95 @@ def main():
                     "batched thickness; the pipelined figure additionally "
                     "overlaps batch k's thickness with batch k+1's device "
                     "stages (run_batches; one-chip overlap measured as "
-                    "batch8_overlap_gain), giving per-batch "
+                    "batch_overlap_gain), giving per-batch "
                     "max(device/8, thickness)"
                 ),
             }
         )
+        emit_partial()
+
+        # r8's probmap Images are device views of the B=8 warped array
+        # (1.5 GB) + displacements — drop them before overlapping two more
+        # batches on a 16 GB chip
+        del r8
+        import gc as _gc
+
+        _gc.collect()
+
+        # software-pipelined cohort loop (run_batches): batch k's thickness
+        # bookkeeping overlaps batch k+1's async-dispatched device stages, so
+        # steady-state per-batch cost tends to max(device, thickness), not
+        # their sum. Overlap keeps TWO batches' device buffers live, so B=8
+        # x2 exceeds one 16 GB chip (measured OOM) — probe the overlap at
+        # B=4 (2 batches live = the B=8 single-batch working set) and report
+        # the gain; a v5e-8 holds 1 knee/chip/batch, so overlap fits there.
+        try:
+            b4 = [knee_img] * 4
+
+            def timed_b4():
+                t0 = time.time()
+                bpipe.run_batch(b4)
+                return time.time() - t0
+
+            _retry(lambda: bpipe.run_batch(b4), "batch4 warmup")
+            batch4_total = _retry(timed_b4, "batch4 sample")
+
+            def timed_b4_pipelined():
+                t0 = time.time()
+                bpipe.run_batches([b4, b4, b4])
+                return (time.time() - t0) / 3.0
+
+            batch4_pipelined = _retry(timed_b4_pipelined, "batch4 pipelined")
+            result_json.update(
+                {
+                    "batch4_seconds_total": round(batch4_total, 2),
+                    "batch4_pipelined_seconds_per_batch": round(batch4_pipelined, 2),
+                    "batch_overlap_gain": round(
+                        batch4_total / max(batch4_pipelined, 1e-9), 3
+                    ),
+                }
+            )
+        except Exception as e:  # noqa: BLE001 — overlap probe is auxiliary
+            print(f"bench: pipelined overlap probe failed: {e!r}", file=sys.stderr)
+            result_json["batch_pipelined_error"] = repr(e)
     except Exception as e:  # noqa: BLE001 — keep the verified headline
         print(f"bench: batch phase failed: {e!r}", file=sys.stderr)
         result_json["batch_phase_error"] = repr(e)
     emit_partial()
+
+    # free the batch pipeline's device residue (8 padded volumes + canvases
+    # + two overlapped batches' buffers after an OOMed probe) so phase 3
+    # measures on a clean chip — r04's first run saw phase 3 OOM on leftovers
+    import gc
+
+    try:
+        del bpipe  # noqa: F821 — defined iff phase 2 got that far
+    except NameError:
+        pass
+    try:
+        del r8  # noqa: F821 — already dropped before the overlap probe
+    except NameError:
+        pass
+    gc.collect()
+    # r04 measured: an OOMed overlap probe leaves the chip near-full and
+    # phase 3 then OOMs on a program that fits a clean chip. Phase 3 rebuilds
+    # everything it needs (own segmenter, params re-device_put from the
+    # checkpoint; the knee volume is host numpy), so drop EVERY live device
+    # buffer — phase-1/2 pipelines are done producing host-side results.
+    try:
+        import jax as _jax_cleanup
+
+        live = list(_jax_cleanup.live_arrays())
+        for arr in live:
+            try:
+                arr.delete()
+            except Exception:  # noqa: BLE001 — already-donated buffers
+                pass
+        print(f"bench: dropped {len(live)} device arrays before phase 3",
+              file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        print(f"bench: device cleanup skipped: {e!r}", file=sys.stderr)
+    gc.collect()
 
     # ---- phase 3: reference-faithful tiling comparison. The DEFAULT config
     # now auto-tiles with x,y-spanning z-slabs (1.76x redundant conv work;

@@ -30,9 +30,21 @@ shape = (160, 384, 384)
 fc = image_from_array(_shell(shape), spacing=(0.36, 0.36, 0.7))
 tc = image_from_array(_shell(shape, 31.5, 35.5, (80, 230, 192)), spacing=(0.36, 0.36, 0.7))
 
+# N_KNEES=8 profiles the batched-thickness workload (16 tissue maps, the
+# B=8 cohort batch); default 1 is the single-knee stage. DEVICE_INPUTS=1
+# device_puts the maps first — the production path (batch.py feeds device
+# views of the warped array, which routes MC through the on-device branch).
+import os
+
+n_knees = int(os.environ.get("N_KNEES", "1"))
+if os.environ.get("DEVICE_INPUTS") == "1":
+    fc = fc.with_data(jax.device_put(fc.data))
+    tc = tc.with_data(jax.device_put(tc.data))
+images = [fc, tc] * n_knees
+
 for rep in range(3):
     tmarks = [("start", time.time())]
-    vols = [_as_xyz(im) for im in (fc, tc)]
+    vols = [_as_xyz(im) for im in images]
     sp = tuple(float(s) for s in np.asarray(fc.spacing))
     extracted = marching_cubes_multi(vols, level=0.5, spacing=sp)
     tmarks.append(("mc", time.time()))
@@ -41,7 +53,7 @@ for rep in range(3):
     smoothed = smooth_meshes(raws, num_iterations=150)
     tmarks.append(("smooth", time.time()))
     pend = []
-    for mesh, mt in zip(smoothed, ("FC", "TC")):
+    for mesh, mt in zip(smoothed, ("FC", "TC") * n_knees):
         inner, outer = split_mesh(mesh, mt)
         pend.append((inner, outer,
                      distance_to_surface_async(inner.vertices, outer),
@@ -58,3 +70,11 @@ for rep in range(3):
     total = tmarks[-1][1] - tmarks[0][1]
     pts = [m.n_points for m in smoothed]
     print(f"rep{rep}: {line} total={total:.2f}s points={pts}", flush=True)
+
+# the actual production call (batched split via kmeans_many + packed pulls)
+from oai_analysis_2_tpu.mesh.processing import get_thickness_meshes
+
+for rep in range(2):
+    t0 = time.time()
+    pairs = get_thickness_meshes(images, ["FC", "TC"] * n_knees)
+    print(f"get_thickness_meshes rep{rep}: {time.time()-t0:.2f}s", flush=True)
