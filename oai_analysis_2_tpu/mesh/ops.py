@@ -103,6 +103,28 @@ def _smooth_loop(verts, nbr_table, deg, num_iterations: int, relaxation):
     return jax.lax.fori_loop(0, num_iterations, body, verts)
 
 
+@partial(jax.jit, static_argnames=("num_iterations",))
+def _smooth_loop_tiered(verts, tbl8, tbl16, deg, num_iterations: int, relaxation):
+    """`_smooth_loop` with a DEGREE-TIERED neighbor table: vertices are
+    pre-permuted so rows [0, n8) hold degree<=8 vertices (K=8 table) and the
+    tail holds the rare high-degree ones (K=16). MC triangulations are 97.8%
+    degree<=8 (max 11), so the uniform K=16 table gathers ~2x more rows than
+    the mesh has neighbors — and the gather rows are exactly what the
+    iteration's cost is proportional to (measured 8.8 s -> 4.5 s per 150
+    iterations at the B=8 union bucket of 524288; tools/
+    profile_smooth_variants.py)."""
+    inv_deg = jnp.where(deg > 0, 1.0 / jnp.maximum(deg, 1.0), 0.0)[:, None]
+    movable = (deg > 0)[:, None]
+
+    def body(_, v):
+        s8 = jnp.sum(v[tbl8], axis=1)
+        s16 = jnp.sum(v[tbl16], axis=1)
+        avg = jnp.concatenate([s8, s16]) * inv_deg
+        return jnp.where(movable, v + relaxation * (avg - v), v)
+
+    return jax.lax.fori_loop(0, num_iterations, body, verts)
+
+
 def _neighbor_table(src: np.ndarray, dst: np.ndarray, nv: int, dummy: int):
     """(nv, K) padded neighbor table from a directed edge list (vectorized:
     stable-sort by source, then column = rank within the source's group)."""
@@ -120,19 +142,64 @@ def _neighbor_table(src: np.ndarray, dst: np.ndarray, nv: int, dummy: int):
     return tbl, deg.astype(np.float32)
 
 
+_K_LOW = 8  # low-tier table width; MC meshes are 97.8% degree<=8
+
+
+def _tiered_slots(deg_pts: np.ndarray, nv: int):
+    """Per-vertex row slots for the tiered layout, or None when it doesn't
+    pay: low-degree vertices pack into [0, n8p) (K=8 rows), high-degree ones
+    into [n8p, nv) with the padding dummies; row nv-1 stays the immovable
+    all-zero gather target. Returns (slots, n8p)."""
+    high = deg_pts > _K_LOW
+    n_high = int(high.sum())
+    if n_high == 0 and len(deg_pts) == 0:
+        return None
+    cap = bucket_size(n_high + 1, minimum=8)
+    n8p = nv - cap
+    n_low = len(deg_pts) - n_high
+    if n8p <= 0 or n_low > n8p:
+        return None  # bucket too tight for the zone split — uniform table
+    slots = np.empty(len(deg_pts), np.int64)
+    slots[~high] = np.arange(n_low)
+    slots[high] = n8p + np.arange(n_high)
+    return slots, n8p
+
+
 def smooth_mesh(mesh: Mesh, num_iterations: int = 150, relaxation: float = 0.01) -> Mesh:
     """Laplacian smoothing, vtkSmoothPolyDataFilter defaults (iterations from
     caller, relaxation 0.01) — reference mesh_processing.py:298-306.
 
     Vertices are padded to power-of-2 buckets (and the neighbor-table width
     to a power-of-2 K) so the jitted loop compiles once per bucket, not per
-    mesh."""
+    mesh; the iteration runs the degree-tiered gather (`_smooth_loop_tiered`)
+    whenever the bucket can host the two zones."""
     if mesh.n_points == 0:
         return mesh
 
     src, dst, _ = _adjacency(mesh)
     nv = bucket_size(mesh.n_points + 1)
     dummy = nv - 1
+    deg_pts = np.bincount(src, minlength=mesh.n_points)
+    tiered = _tiered_slots(deg_pts, nv)
+    if tiered is not None:
+        slots, n8p = tiered
+        tbl, deg = _neighbor_table(
+            slots[src].astype(np.int64), slots[dst].astype(np.int32), nv, dummy
+        )
+        vp = np.zeros((nv, 3), np.float32)
+        vp[slots] = mesh.vertices
+        out = _smooth_loop_tiered(
+            jnp.asarray(vp),
+            jnp.asarray(tbl[:n8p, :_K_LOW]),
+            jnp.asarray(tbl[n8p:]),
+            jnp.asarray(deg),
+            int(num_iterations),
+            jnp.float32(relaxation),
+        )
+        res = mesh.copy()
+        res.vertices = np.asarray(out)[slots]
+        return res
+
     tbl, deg = _neighbor_table(src, dst, nv, dummy)
     out = _smooth_loop(
         jnp.asarray(pad_rows(mesh.vertices, nv)),

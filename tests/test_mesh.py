@@ -119,6 +119,51 @@ class TestSmoothing:
         # volume preserved approximately (no collapse)
         assert np.ptp(sm.vertices[:, 0]) > 0.8 * np.ptp(noisy.vertices[:, 0])
 
+    def test_tiered_matches_uniform_table(self):
+        """The degree-tiered gather layout (production fast path) must
+        reproduce the uniform-K table loop bit-for-bit up to f32 sum
+        reordering: same edges, same degrees, same update rule."""
+        import jax.numpy as jnp
+
+        from oai_analysis_2_tpu.mesh import ops as mops
+
+        vol = _ball_volume()
+        mesh = marching_tetrahedra(vol, 0.5)
+        deg = np.bincount(
+            mops._adjacency(mesh)[0], minlength=mesh.n_points
+        )
+        assert (deg > mops._K_LOW).any(), "phantom must exercise the high tier"
+
+        sm = smooth_mesh(mesh, num_iterations=50)  # tiered path
+
+        src, dst, _ = mops._adjacency(mesh)
+        nv = mops.bucket_size(mesh.n_points + 1)
+        tbl, degp = mops._neighbor_table(src.astype(np.int64), dst, nv, nv - 1)
+        ref = np.asarray(
+            mops._smooth_loop(
+                jnp.asarray(mops.pad_rows(mesh.vertices, nv)),
+                jnp.asarray(tbl),
+                jnp.asarray(degp),
+                50,
+                jnp.float32(0.01),
+            )
+        )[: mesh.n_points]
+        np.testing.assert_allclose(sm.vertices, ref, rtol=0, atol=2e-4)
+
+    def test_tiered_slots_layout(self):
+        from oai_analysis_2_tpu.mesh.ops import _tiered_slots
+
+        deg = np.array([6, 11, 6, 6, 9, 6], np.int64)
+        out = _tiered_slots(deg, 256)
+        assert out is not None
+        slots, n8p = out
+        assert n8p == 256 - 8
+        # low-degree vertices pack from 0, high-degree from n8p; all unique
+        assert sorted(slots[[0, 2, 3, 5]]) == [0, 1, 2, 3]
+        assert sorted(slots[[1, 4]]) == [n8p, n8p + 1]
+        # a bucket too tight for the split falls back to the uniform table
+        assert _tiered_slots(np.full(250, 6, np.int64), 256) is None
+
 
 class TestDistance:
     def _plane(self, z, n=8, offset=0.0):
