@@ -432,7 +432,11 @@ def main():
 
     # free the batch pipeline's device residue (8 padded volumes + canvases
     # + two overlapped batches' buffers after an OOMed probe) so phase 3
-    # measures on a clean chip — r04's first run saw phase 3 OOM on leftovers
+    # measures on a clean chip — r04's first run saw phase 3 OOM on leftovers.
+    # Phase 3's one cross-phase input is the knee volume: snapshot it to HOST
+    # numpy first, because the sweep below deletes every live device array
+    # (r04 run 2 hit 'Array has been deleted' exactly here).
+    vol_host = np.asarray(pipe_inputs["knee"].data, np.float32)
     import gc
 
     try:
@@ -489,7 +493,7 @@ def main():
         def _pull_scalar(out):  # value-pull sync (axon block_until_ready lies)
             return float(_jnp.asarray(out).ravel()[0])
 
-        vol = pipe_inputs["knee"].data.astype(np.float32)
+        vol = vol_host
         _retry(lambda: _pull_scalar(run_dial(dev_params, vol)), "dial warmup")
 
         def timed_dial():

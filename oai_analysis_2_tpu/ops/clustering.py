@@ -56,11 +56,72 @@ def _kmeans_impl(x: jax.Array, w: jax.Array, k: int, n_iter: int):
     return jnp.argmin(d2, axis=1), centers
 
 
-def kmeans(x: np.ndarray, k: int = 2, n_iter: int = 50):
-    """Returns (labels (n,), centers (k, dim)). Deterministic; compiles once
-    per (bucket, dim, k)."""
+def _kmeans_np(x: np.ndarray, k: int, n_iter: int):
+    """Host mirror of `_kmeans_impl` (same farthest-point init, same fixed
+    Lloyd schedule, float32) on unpadded rows.
+
+    Why a host path at all: the split-stage clustering problems are tiny
+    (k=2, d<=6, ~50k rows -> ~0.5 GFLOP for the whole Lloyd schedule) and the
+    features originate on the host, so on a tunneled TPU the device call is
+    pure transfer cost — measured 2.0 s steady for a 16-problem B=8 batch
+    (~25 MB of padded features pushed + labels pulled) vs ~0.1 s computing
+    in place. Numerics match the device path up to fp reduction order /
+    argmin tie-breaks; cluster *identity* is re-derived downstream from the
+    orientation heuristic either way (see module docstring)."""
+    x = np.ascontiguousarray(x, np.float32)
+    mean = x.mean(axis=0, dtype=np.float32)
+    d2 = ((x - mean) ** 2).sum(axis=1)
+    centers = np.zeros((k, x.shape[1]), np.float32)
+    centers[0] = x[int(np.argmax(d2))]
+    d2 = ((x - centers[0]) ** 2).sum(axis=1)
+    for i in range(1, k):
+        centers[i] = x[int(np.argmax(d2))]
+        if i + 1 < k:
+            d2 = np.minimum(d2, ((x - centers[i]) ** 2).sum(axis=1))
+    # Lloyd. ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2; the ||x||^2 term is
+    # constant per row, so argmin only needs the GEMM part. Early exit when
+    # the labels repeat: at that point centers recompute to themselves
+    # (fixpoint), so the result is EXACTLY what the fixed n_iter schedule
+    # would produce — the host path gets convergence detection for free
+    # where the jitted path must unroll the worst case.
+    prev = None
+    labels = None
+    for _ in range(n_iter):
+        d2 = (centers * centers).sum(axis=1) - 2.0 * (x @ centers.T)
+        labels = np.argmin(d2, axis=1)
+        if prev is not None and np.array_equal(labels, prev):
+            return labels, centers
+        prev = labels
+        onehot = (labels[:, None] == np.arange(k)[None, :]).astype(np.float32)
+        counts = onehot.sum(axis=0)
+        sums = onehot.T @ x
+        nz = counts > 0
+        centers[nz] = sums[nz] / counts[nz, None]
+    d2 = (centers * centers).sum(axis=1) - 2.0 * (x @ centers.T)
+    return np.argmin(d2, axis=1), centers
+
+
+def _backend(override: str | None) -> str:
+    import os
+
+    b = override or os.environ.get("OAI_TPU_KMEANS_BACKEND", "host")
+    if b not in ("host", "device"):
+        raise ValueError(f"kmeans backend must be 'host' or 'device', got {b!r}")
+    return b
+
+
+def kmeans(x: np.ndarray, k: int = 2, n_iter: int = 50, backend: str | None = None):
+    """Returns (labels (n,), centers (k, dim)). Deterministic.
+
+    backend='host' (default, or OAI_TPU_KMEANS_BACKEND): numpy in place —
+    these problems are transfer-bound, not compute-bound (see `_kmeans_np`).
+    backend='device': the jitted TPU program (compiles once per
+    (bucket, dim, k)); the right choice only for data already on device or
+    far larger problems than the mesh-split call sites produce."""
     x = np.asarray(x, np.float32)
     n = len(x)
+    if _backend(backend) == "host":
+        return _kmeans_np(x, int(k), int(n_iter))
     nb = bucket_size(n)
     xp = pad_rows(x, nb)
     w = np.zeros(nb, np.float32)
@@ -74,21 +135,28 @@ def _kmeans_many_impl(xs: jax.Array, ws: jax.Array, k: int, n_iter: int):
     return jax.vmap(lambda x, w: _kmeans_impl(x, w, k, n_iter))(xs, ws)
 
 
-def kmeans_many(problems, k: int = 2, n_iter: int = 50):
-    """Solve MANY independent k-means problems in one device program.
+def kmeans_many(problems, k: int = 2, n_iter: int = 50, backend: str | None = None):
+    """Solve MANY independent k-means problems.
 
-    problems: list of (n_i, d_i) float arrays. All are padded to a shared
-    (bucket, d_max) shape — zero-weight rows and all-zero feature columns
-    change no distance, so each solution equals its standalone `kmeans`
-    (modulo argmin ties). Returns [labels_i] aligned with the inputs.
+    problems: list of (n_i, d_i) float arrays; returns [labels_i] aligned
+    with the inputs.
 
-    One host->device transfer and ONE sync for the whole set: the per-mesh
-    split path cost 2 tunnel round-trips per clustering call (4 calls/knee
-    -> 64 round-trips for an 8-knee batch), which dominated the batched
-    thickness stage on the TPU tunnel."""
+    backend='host' (default): each problem solved in place with numpy —
+    zero tunnel traffic. Profiling the B=8 split stage showed the batched
+    DEVICE program at 2.0 s steady (one (16, 64Ki, 6) padded push + label
+    pull over the tunnel) vs ~0.1 s of actual arithmetic; see `_kmeans_np`.
+
+    backend='device': ONE jitted program for the whole set — everything
+    padded to a shared (bucket, d_max) shape (zero-weight rows / zero
+    feature columns change no distance, so each solution equals its
+    standalone `kmeans` modulo argmin ties). Still far better than the
+    historical per-mesh device path (2 round-trips per call, ~64 for an
+    8-knee batch), and the right backend when the features are device-fed."""
     if not problems:
         return []
     arrs = [np.asarray(p, np.float32) for p in problems]
+    if _backend(backend) == "host":
+        return [_kmeans_np(a, int(k), int(n_iter))[0] for a in arrs]
     d = max(a.shape[1] for a in arrs)
     nb = max(bucket_size(len(a)) for a in arrs)
     xs = np.zeros((len(arrs), nb, d), np.float32)

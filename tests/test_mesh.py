@@ -234,6 +234,48 @@ class TestClustering:
         assert len(np.unique(labels[50:])) == 1
         assert labels[0] != labels[-1]
 
+    def test_host_backend_matches_device(self):
+        """The default host (numpy) path and the jitted device path implement
+        the same algorithm (same farthest-point init + Lloyd fixpoint), so
+        their partitions must agree up to label permutation — including on
+        k>2 and on features wider than the split call sites use."""
+        from oai_analysis_2_tpu.ops.clustering import kmeans_many
+
+        rng = np.random.default_rng(7)
+        problems = []
+        for i, (n, k_blobs) in enumerate([(300, 2), (1111, 3), (64, 2)]):
+            cents = rng.normal(0, 8, (k_blobs, 4))
+            pts = np.concatenate(
+                [rng.normal(c, 0.4, (n // k_blobs + 1, 4)) for c in cents]
+            ).astype(np.float32)
+            problems.append(pts[:n])
+        for k in (2, 3):
+            host = kmeans_many(problems, k=k, backend="host")
+            dev = kmeans_many(problems, k=k, backend="device")
+            for h, d in zip(host, dev):
+                # agreement up to a permutation of the k labels
+                best = 0.0
+                import itertools
+
+                for perm in itertools.permutations(range(k)):
+                    remap = np.asarray(perm)[np.asarray(d)]
+                    best = max(best, float(np.mean(np.asarray(h) == remap)))
+                assert best > 0.99, best
+
+    def test_host_early_exit_is_fixpoint(self):
+        """Early exit fires only when labels repeat, i.e. at the Lloyd
+        fixpoint — so a longer fixed schedule must return the same labels."""
+        from oai_analysis_2_tpu.ops.clustering import _kmeans_np
+
+        rng = np.random.default_rng(3)
+        x = np.concatenate(
+            [rng.normal(0, 0.5, (400, 6)), rng.normal(4, 0.5, (500, 6))]
+        ).astype(np.float32)
+        l50, c50 = _kmeans_np(x, 2, 50)
+        l500, c500 = _kmeans_np(x, 2, 500)
+        np.testing.assert_array_equal(l50, l500)
+        np.testing.assert_allclose(c50, c500, rtol=0, atol=0)
+
 
 class TestDecomposition:
     def test_circle_fit(self):

