@@ -85,34 +85,57 @@ def _adjacency(mesh: Mesh):
 
 
 @partial(jax.jit, static_argnames=("num_iterations",))
-def _smooth_loop(verts, nbr_table, deg, num_iterations: int, relaxation):
+def _smooth_loop(verts, nbr_table, num_iterations: int, relaxation):
     """Neighbor-TABLE Laplacian iteration: one (N, K) row gather + sum per
     step, no scatter. Measured 3.6x faster on TPU than the round-2 edge-list
     segment-sum form at production mesh sizes (29k points, K=10: 0.18 s vs
     0.65 s for 150 iterations) — TPU scatter-adds serialize, row gathers ride
     DMA. Padding table entries point at the LAST vertex row, which is an
-    all-zero immovable dummy (degree 0), so they contribute nothing."""
+    all-zero immovable dummy (degree 0), so they contribute nothing. Degrees
+    are derived ON DEVICE from the table (entries != dummy row): the host
+    float vector was pure extra tunnel payload.
+
+    The table may be SHORTER than the vertex array: rows [len(table), N)
+    are frozen (they are bucket padding + the dummy, all immovable anyway),
+    so the per-iteration gather only pays for rows that can move — the
+    gather cost is purely row-count-linear on TPU (measured 22.5 -> 16.8
+    ms/iter updating 384k of a 524k bucket; /tmp gather shootout r04)."""
+    dummy = verts.shape[0] - 1
+    n_upd = nbr_table.shape[0]
+    deg = jnp.sum(nbr_table != dummy, axis=1).astype(verts.dtype)
     inv_deg = jnp.where(deg > 0, 1.0 / jnp.maximum(deg, 1.0), 0.0)[:, None]
     movable = (deg > 0)[:, None]
 
     def body(_, v):
-        nb_sum = jnp.sum(v[nbr_table], axis=1)  # (N, K, 3) -> (N, 3)
+        nb_sum = jnp.sum(v[nbr_table], axis=1)  # (n_upd, K, 3) -> (n_upd, 3)
         avg = nb_sum * inv_deg
-        return jnp.where(movable, v + relaxation * (avg - v), v)
+        head = v[:n_upd]
+        upd = jnp.where(movable, head + relaxation * (avg - head), head)
+        return jnp.concatenate([upd, v[n_upd:]])
 
     return jax.lax.fori_loop(0, num_iterations, body, verts)
 
 
-@partial(jax.jit, static_argnames=("num_iterations",))
-def _smooth_loop_tiered(verts, tbl8, tbl16, deg, num_iterations: int, relaxation):
+@partial(jax.jit, static_argnames=("num_iterations", "n8p"))
+def _smooth_loop_tiered(verts, tbl8, tbl16, n8p: int, num_iterations: int,
+                        relaxation):
     """`_smooth_loop` with a DEGREE-TIERED neighbor table: vertices are
-    pre-permuted so rows [0, n8) hold degree<=8 vertices (K=8 table) and the
+    pre-permuted so rows [0, n8p) hold degree<=8 vertices (K=8 table) and the
     tail holds the rare high-degree ones (K=16). MC triangulations are 97.8%
     degree<=8 (max 11), so the uniform K=16 table gathers ~2x more rows than
     the mesh has neighbors — and the gather rows are exactly what the
     iteration's cost is proportional to (measured 8.8 s -> 4.5 s per 150
     iterations at the B=8 union bucket of 524288; tools/
-    profile_smooth_variants.py)."""
+    profile_smooth_variants.py). Degrees derive on device as in
+    `_smooth_loop`; as there, each tier's table may be truncated below its
+    zone size — tbl8 updates rows [0, len(tbl8)), tbl16 updates rows
+    [n8p, n8p + len(tbl16)), everything else is frozen padding."""
+    dummy = verts.shape[0] - 1
+    n8u = tbl8.shape[0]
+    n16u = tbl16.shape[0]
+    deg = jnp.concatenate(
+        [jnp.sum(tbl8 != dummy, axis=1), jnp.sum(tbl16 != dummy, axis=1)]
+    ).astype(verts.dtype)
     inv_deg = jnp.where(deg > 0, 1.0 / jnp.maximum(deg, 1.0), 0.0)[:, None]
     movable = (deg > 0)[:, None]
 
@@ -120,7 +143,11 @@ def _smooth_loop_tiered(verts, tbl8, tbl16, deg, num_iterations: int, relaxation
         s8 = jnp.sum(v[tbl8], axis=1)
         s16 = jnp.sum(v[tbl16], axis=1)
         avg = jnp.concatenate([s8, s16]) * inv_deg
-        return jnp.where(movable, v + relaxation * (avg - v), v)
+        head = jnp.concatenate([v[:n8u], v[n8p : n8p + n16u]])
+        upd = jnp.where(movable, head + relaxation * (avg - head), head)
+        return jnp.concatenate(
+            [upd[:n8u], v[n8u:n8p], upd[n8u:], v[n8p + n16u :]]
+        )
 
     return jax.lax.fori_loop(0, num_iterations, body, verts)
 
@@ -143,6 +170,15 @@ def _neighbor_table(src: np.ndarray, dst: np.ndarray, nv: int, dummy: int):
 
 
 _K_LOW = 8  # low-tier table width; MC meshes are 97.8% degree<=8
+
+
+def _upd_rows(n_real: int, cap: int, nv: int) -> int:
+    """Update-table length for `n_real` occupied rows in a zone of size
+    `cap`: rounded up to a bucket-relative granule (nv/16, floor 1024) so
+    the compile-key count stays bounded while the gather skips most of the
+    zone's padding rows (which are immovable and need no update)."""
+    gran = max(nv // 16, 1024)
+    return min(cap, -(-max(n_real, 1) // gran) * gran)
 
 
 def _tiered_slots(deg_pts: np.ndarray, nv: int):
@@ -176,35 +212,57 @@ def smooth_mesh(mesh: Mesh, num_iterations: int = 150, relaxation: float = 0.01)
     if mesh.n_points == 0:
         return mesh
 
+    import os
+    import time as _time
+
+    _prof = os.environ.get("OAI_TPU_THICKNESS_PROFILE") == "1"
+    _t = _time.time()
+
+    def _mark(name):
+        nonlocal _t
+        if _prof:
+            import sys as _sys
+
+            now = _time.time()
+            print(f"  smooth[{name}]: {now - _t:.2f}s", file=_sys.stderr, flush=True)
+            _t = now
+
     src, dst, _ = _adjacency(mesh)
+    _mark("adjacency")
     nv = bucket_size(mesh.n_points + 1)
     dummy = nv - 1
     deg_pts = np.bincount(src, minlength=mesh.n_points)
     tiered = _tiered_slots(deg_pts, nv)
     if tiered is not None:
         slots, n8p = tiered
-        tbl, deg = _neighbor_table(
+        tbl, _deg = _neighbor_table(
             slots[src].astype(np.int64), slots[dst].astype(np.int32), nv, dummy
         )
         vp = np.zeros((nv, 3), np.float32)
         vp[slots] = mesh.vertices
+        n_high = int((deg_pts > _K_LOW).sum())
+        n8u = _upd_rows(mesh.n_points - n_high, n8p, nv)
+        n16u = _upd_rows(n_high, nv - n8p, nv)
+        _mark("table")
         out = _smooth_loop_tiered(
             jnp.asarray(vp),
-            jnp.asarray(tbl[:n8p, :_K_LOW]),
-            jnp.asarray(tbl[n8p:]),
-            jnp.asarray(deg),
+            jnp.asarray(tbl[:n8u, :_K_LOW]),
+            jnp.asarray(tbl[n8p : n8p + n16u]),
+            int(n8p),
             int(num_iterations),
             jnp.float32(relaxation),
         )
+        out_np = np.asarray(out)
+        _mark("device+pull")
         res = mesh.copy()
-        res.vertices = np.asarray(out)[slots]
+        res.vertices = out_np[slots]
         return res
 
-    tbl, deg = _neighbor_table(src, dst, nv, dummy)
+    tbl, _deg = _neighbor_table(src, dst, nv, dummy)
+    n_upd = _upd_rows(mesh.n_points, nv, nv)
     out = _smooth_loop(
         jnp.asarray(pad_rows(mesh.vertices, nv)),
-        jnp.asarray(tbl),
-        jnp.asarray(deg),
+        jnp.asarray(tbl[:n_upd]),
         int(num_iterations),
         jnp.float32(relaxation),
     )

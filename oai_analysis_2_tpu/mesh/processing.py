@@ -149,8 +149,25 @@ def get_thickness_meshes(
     are extracted per map but Laplacian-smoothed as ONE disjoint union (the
     sequential 150-iteration loop is the latency floor of the thickness
     stage — paying it once halves it). Returns [(inner, outer), ...]."""
+    import os
+    import time as _time
+
     from oai_analysis_2_tpu.mesh.marching_cubes import marching_cubes_multi
     from oai_analysis_2_tpu.mesh.ops import smooth_meshes
+
+    # substage wall-clock prints for on-chip profiling (stderr), without
+    # perturbing the production path: OAI_TPU_THICKNESS_PROFILE=1
+    _prof = os.environ.get("OAI_TPU_THICKNESS_PROFILE") == "1"
+    _t = _time.time()
+
+    def _mark(name):
+        nonlocal _t
+        if _prof:
+            import sys as _sys
+
+            now = _time.time()
+            print(f"thickness[{name}]: {now - _t:.2f}s", file=_sys.stderr, flush=True)
+            _t = now
 
     vols = [_as_xyz(image) for image in images]
     spacings = [tuple(float(s) for s in np.asarray(im.spacing)) for im in images]
@@ -163,8 +180,11 @@ def get_thickness_meshes(
         extracted = [
             _extract(v, level, sp, method) for v, sp in zip(vols, spacings)
         ]
+    _mark("mc")
     raws = [filter_small_components(r, filter_threshold) for r in extracted]
+    _mark("components")
     smoothed = smooth_meshes(raws, num_iterations=num_iterations)
+    _mark("smooth")
     # dispatch every distance kernel BEFORE pulling any result: each early
     # host sync is a tunnel round trip that serializes the remaining device
     # compute behind it (matters at 2 syncs/tissue x 2B tissues per batch)
@@ -174,7 +194,9 @@ def get_thickness_meshes(
     # ONE batched clustering program for every tissue's split (kmeans_many):
     # per-mesh splits cost 2 tunnel round-trips per k-means call
     pending = []
-    for inner, outer in split_meshes(smoothed, list(mesh_types)):
+    splits = split_meshes(smoothed, list(mesh_types))
+    _mark("split")
+    for inner, outer in splits:
         pending.append(
             (
                 inner,
@@ -189,6 +211,7 @@ def get_thickness_meshes(
         n for inner, outer, _, _ in pending for n in (inner.n_points, outer.n_points)
     ]
     distances = _sync_distances(flat_pending, flat_npts)
+    _mark("distance")
     out = []
     for i, (inner, outer, _, _) in enumerate(pending):
         inner = inner.copy()

@@ -138,12 +138,11 @@ class TestSmoothing:
 
         src, dst, _ = mops._adjacency(mesh)
         nv = mops.bucket_size(mesh.n_points + 1)
-        tbl, degp = mops._neighbor_table(src.astype(np.int64), dst, nv, nv - 1)
+        tbl, _degp = mops._neighbor_table(src.astype(np.int64), dst, nv, nv - 1)
         ref = np.asarray(
             mops._smooth_loop(
                 jnp.asarray(mops.pad_rows(mesh.vertices, nv)),
                 jnp.asarray(tbl),
-                jnp.asarray(degp),
                 50,
                 jnp.float32(0.01),
             )
