@@ -30,7 +30,6 @@ import numpy as np
 from oai_analysis_2_tpu.mesh.mc_table import (
     EDGE_CORNERS,
     MC_MAX_TRIS,
-    MC_TRI_COUNT,
     MC_TRI_TABLE,
 )
 from oai_analysis_2_tpu.mesh.marching import _CORNER_OFFSETS
@@ -116,7 +115,6 @@ def _device_fns():
     import jax
     import jax.numpy as jnp
 
-    tri_count_lut = jnp.asarray(MC_TRI_COUNT.astype(np.int32))
     tri_table = jnp.asarray(MC_TRI_TABLE.astype(np.int32))  # (256, MAXT, 3)
     edge_base = jnp.asarray(_EDGE_BASE_OFFSET.astype(np.int32))  # (12, 3)
 
@@ -135,7 +133,12 @@ def _device_fns():
         n_vz = jnp.sum(inside[:, :, :-1] != inside[:, :, 1:])
         codes = _codes(inside)
         active = (codes > 0) & (codes < 255)
-        n_tris = jnp.sum(tri_count_lut[codes.astype(jnp.int32)])
+        # NO tri-count LUT here: a 256-entry gather over every cube costs
+        # ~200 ms/volume at 160x384x384 (vs 28 ms for everything else in
+        # this pass — measured r04); the EXACT triangle count is instead
+        # produced by the extract pass over the compacted active cubes
+        # (~65k gathers) and pulled with the results. This pass only sizes
+        # buckets (5 triangles/cube is the MC table maximum) and the bbox.
         # active-cube bounding box (inclusive cube-index ranges) so the
         # heavy extract pass can run on a slice instead of the full volume
         bbox = []
@@ -147,7 +150,7 @@ def _device_fns():
             bbox += [lo, hi]
         # ONE packed array -> one host sync (separate scalars cost a tunnel
         # round-trip at ~0.1-0.2 s each)
-        return jnp.stack([n_vx + n_vy + n_vz, jnp.sum(active), n_tris, *bbox])
+        return jnp.stack([n_vx + n_vy + n_vz, jnp.sum(active), *bbox])
 
     count = jax.jit(_count_one)
 
@@ -214,7 +217,11 @@ def _device_fns():
         elin = (ebase[..., 0] * esh[..., 1] + ebase[..., 1]) * esh[..., 2] + ebase[..., 2]
         egid = elin + jnp.take(jnp.asarray(offs), eaxis)
         faces = rank_all[egid] * jnp.where(tvalid, 1, 0)[:, None]  # (tb, 3)
-        return verts, faces, tvalid
+        # exact triangle count, on the PRE-compaction mask (tvalid's padded
+        # entries alias slot 0 via fill_value=0, so it can overcount). The
+        # valid slots are compacted first by nonzero's ascending order, so
+        # faces[:n_tris] are exactly the real rows.
+        return verts, faces, jnp.sum(slot_valid.astype(jnp.int32))
 
     @functools.partial(jax.jit, static_argnames=("sx", "sy", "sz"))
     def slice_vol(vol, ax, ay, az, sx: int, sy: int, sz: int):
@@ -229,8 +236,12 @@ def _round_up(n: int, m: int) -> int:
 
 def _extract_dispatch(vol, level: float, spacing, counts: np.ndarray):
     """Dispatch the extract pass for one volume given its packed count/bbox
-    row; returns (verts_dev (n,3), faces_dev (m,3), anchor_offset_xyz) with
-    the device arrays still computing (no host sync), or None when empty.
+    row; returns (verts_dev (n,3), faces_dev (tb,3), n_tris_dev scalar,
+    anchor_offset_xyz) with the device arrays still computing (no host
+    sync), or None when empty. The EXACT triangle count comes back from the
+    extract itself (the count pass only bounds it by 5/active cube — the
+    per-cube LUT gather over the full volume cost ~200 ms/volume, 7x the
+    rest of the count pass).
 
     The heavy compaction (nonzero + full cumsum ranks) runs on a SLICE
     covering the active bounding box (padded to multiples of 64 lattice
@@ -243,11 +254,11 @@ def _extract_dispatch(vol, level: float, spacing, counts: np.ndarray):
     from oai_analysis_2_tpu.ops.bucketing import bucket_size
 
     _, extract, slice_vol = _device_fns()
-    n_verts, n_active, n_tris = (int(x) for x in counts[:3])
-    if n_tris == 0:
+    n_verts, n_active = (int(x) for x in counts[:2])
+    if n_active == 0:
         return None
-    lo = [int(counts[3]), int(counts[5]), int(counts[7])]
-    hi = [int(counts[4]), int(counts[6]), int(counts[8])]
+    lo = [int(counts[2]), int(counts[4]), int(counts[6])]
+    hi = [int(counts[3]), int(counts[5]), int(counts[7])]
     anchors, sizes = [], []
     for axis, n in enumerate(vol.shape):
         need = hi[axis] - lo[axis] + 2  # lattice points spanning active cubes
@@ -258,11 +269,12 @@ def _extract_dispatch(vol, level: float, spacing, counts: np.ndarray):
 
     vb = bucket_size(max(n_verts, 256))
     mb = bucket_size(max(n_active, 256))
-    tb = bucket_size(max(n_tris, 256))
+    mb_val = bucket_size(max(n_active, 256))
+    tb = min(bucket_size(max(MC_MAX_TRIS * n_active, 256)), MC_MAX_TRIS * mb_val)
     sp = jnp.asarray(np.asarray(spacing, np.float32))
-    verts, faces, _ = extract(sub, jnp.float32(level), sp, vb, mb, tb)
+    verts, faces, n_tris = extract(sub, jnp.float32(level), sp, vb, mb, tb)
     offset = np.asarray(anchors, np.float32) * np.asarray(spacing, np.float32)
-    return verts[:n_verts], faces[:n_tris], offset
+    return verts[:n_verts], faces, n_tris, offset
 
 
 def _extract_with_counts(vol, level: float, spacing, counts: np.ndarray) -> Mesh:
@@ -270,8 +282,12 @@ def _extract_with_counts(vol, level: float, spacing, counts: np.ndarray) -> Mesh
     disp = _extract_dispatch(vol, level, spacing, counts)
     if disp is None:
         return Mesh(np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32))
-    verts, faces, offset = disp
-    return Mesh(np.asarray(verts) + offset, np.asarray(faces, np.int32))
+    verts, faces, n_tris_dev, offset = disp
+    n_tris = int(np.asarray(n_tris_dev))
+    return Mesh(
+        np.asarray(verts) + offset,
+        np.asarray(faces[:n_tris], np.int32),
+    )
 
 
 def _marching_cubes_device(vol, level: float, spacing) -> Mesh:
@@ -313,15 +329,26 @@ def marching_cubes_multi(volumes, level: float = 0.5, spacing=(1.0, 1.0, 1.0)):
         for i, v in enumerate(vols32)
     ]
     live = [d for d in dispatched if d is not None]
-    packed_v = np.asarray(jnp.concatenate([v for v, _, _ in live])) if live else None
-    packed_f = np.asarray(jnp.concatenate([f for _, f, _ in live])) if live else None
+    # one SMALL pull for every exact triangle count (the extracts finish
+    # computing behind it), then two packed pulls of the exact-size results
+    ntris = (
+        [int(x) for x in np.asarray(jnp.stack([n for _, _, n, _ in live]))]
+        if live else []
+    )
+    packed_v = np.asarray(jnp.concatenate([v for v, _, _, _ in live])) if live else None
+    packed_f = (
+        np.asarray(jnp.concatenate([f[:n] for (_, f, _, _), n in zip(live, ntris)]))
+        if live else None
+    )
     out, vo, fo = [], 0, 0
+    li = 0
     for d in dispatched:
         if d is None:
             out.append(Mesh(np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)))
             continue
-        verts, faces, offset = d
-        nv, nf = verts.shape[0], faces.shape[0]
+        verts, _, _, offset = d
+        nv, nf = verts.shape[0], ntris[li]
+        li += 1
         out.append(
             Mesh(packed_v[vo : vo + nv] + offset,
                  np.asarray(packed_f[fo : fo + nf], np.int32))
