@@ -73,8 +73,21 @@ def _phantom_models_dir() -> Path:
     ckpt = cache / "segmentation_model.npz"
     cfg = cache / "segmentation_train_config.pth.tar"  # JSON; reference names it so
     if not (ckpt.exists() and cfg.exists()):
+        import os
+
         cache.mkdir(parents=True, exist_ok=True)
-        cfg.write_text(
+        # Concurrent processes may race to populate this shared dir: write
+        # both files under pid-unique temp names and os.replace() into place,
+        # checkpoint first and config last (the exists() gate requires both,
+        # and each replace is atomic), so no reader ever sees a partial file.
+        tmp = f".tmp{os.getpid()}"
+        model = UNet3D(NETWORK_SPECS["UNet"].replace(bias=True))
+        params = make_threshold_params(model, gain=24.0, threshold=0.5)
+        save_checkpoint({"params": params, "epoch": 600}, False, cache,
+                        name=f"segmentation_model{tmp}.npz")
+        os.replace(cache / f"segmentation_model{tmp}.npz", ckpt)
+        cfg_tmp = cache / f"segmentation_train_config{tmp}"
+        cfg_tmp.write_text(
             json.dumps(
                 {
                     "patch_size": [128, 128, 32],
@@ -85,10 +98,7 @@ def _phantom_models_dir() -> Path:
                 }
             )
         )
-        model = UNet3D(NETWORK_SPECS["UNet"].replace(bias=True))
-        params = make_threshold_params(model, gain=24.0, threshold=0.5)
-        save_checkpoint({"params": params, "epoch": 600}, False, cache,
-                        name="segmentation_model.npz")
+        os.replace(cfg_tmp, cfg)
     return cache
 
 

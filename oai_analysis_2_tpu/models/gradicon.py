@@ -664,7 +664,10 @@ def _scale_runner(
                 ema = drop if i <= 1 else beta * ema + (1.0 - beta) * drop
                 peak = max(peak, ema)
                 last_l = l
-                if i > min_steps and ema <= early_stop * peak:
+                # device cond continues while (i <= min_steps) | (ema > tol*peak),
+                # checked before step i — so the first stoppable state is the one
+                # after step min_steps has run. Mirror exactly: >= here, not >.
+                if i >= min_steps and ema <= early_stop * peak:
                     taken = i + 1
                     print(f"scale shape {shape_s}: early stop at step {taken}")
                     break

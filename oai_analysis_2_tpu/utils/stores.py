@@ -85,10 +85,22 @@ class HTTPStore:
                 with urllib.request.urlopen(req, timeout=60) as resp:
                     return resp.read()
             except urllib.error.HTTPError as e:
-                if e.code in (403, 404):
-                    # S3 answers 403 for missing keys without ListBucket
-                    # permission; both mean "not readable here" -> absent
+                if e.code == 404:
                     return None
+                if e.code == 403 and self.signer is None:
+                    # Anonymous S3 answers 403 for missing keys without
+                    # ListBucket permission -> absent. With a SigV4 signer
+                    # attached, 403 means auth failure (expired credentials,
+                    # clock skew) — returning None would let zarr fill the
+                    # chunk with fill_value and silently zero a volume, so
+                    # signed reads must raise instead.
+                    return None
+                if e.code == 403:
+                    raise IOError(
+                        f"GET {url} -> 403 with SigV4 signer attached: "
+                        "authentication failure (expired credentials / clock "
+                        "skew), not a missing key; refusing to zero-fill"
+                    ) from e
                 last = e
             except (urllib.error.URLError, ConnectionError, TimeoutError) as e:
                 last = e
