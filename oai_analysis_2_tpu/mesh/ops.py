@@ -169,6 +169,44 @@ def _neighbor_table(src: np.ndarray, dst: np.ndarray, nv: int, dummy: int):
     return tbl, deg.astype(np.float32)
 
 
+def _csr_adjacency(mesh: Mesh):
+    """Smoothing adjacency as CSR (deg (N,) int64, nbr (total,) int32) with
+    the boundary rule applied — one C++ pass (native.smooth_adjacency_csr;
+    the numpy unique/argsort path costs ~7 s at the B=8 cohort-batch union
+    of ~700k points), numpy fallback via `_adjacency`."""
+    from oai_analysis_2_tpu import native
+
+    res = native.smooth_adjacency(mesh.n_points, mesh.faces)
+    if res is not None:
+        deg, nbr = res
+        return deg.astype(np.int64), nbr
+    src, dst, _ = _adjacency(mesh)
+    order = np.argsort(src, kind="stable")
+    deg = np.bincount(src, minlength=mesh.n_points).astype(np.int64)
+    return deg, dst[order].astype(np.int32)
+
+
+def _table_from_csr(deg, nbr, nv: int, k: int, dummy: int, slots=None):
+    """(nv, k) neighbor table from CSR, optionally remapped through a slot
+    permutation (tiered layout): row-sequential C++ fill (native.fill_table),
+    vectorized-numpy fallback."""
+    from oai_analysis_2_tpu import native
+
+    tbl = np.full((nv, k), dummy, np.int32)
+    if len(nbr) == 0:
+        return tbl
+    if native.fill_table(deg, nbr, tbl, slots):
+        return tbl
+    offsets = np.zeros(len(deg), np.int64)
+    np.cumsum(deg[:-1], out=offsets[1:])
+    rows = np.arange(len(deg), dtype=np.int64) if slots is None else slots
+    tbl[np.repeat(rows, deg),
+        np.arange(len(nbr), dtype=np.int64) - np.repeat(offsets, deg)] = (
+        nbr if slots is None else slots[nbr].astype(np.int32)
+    )
+    return tbl
+
+
 _K_LOW = 8  # low-tier table width; MC meshes are 97.8% degree<=8
 
 
@@ -227,17 +265,16 @@ def smooth_mesh(mesh: Mesh, num_iterations: int = 150, relaxation: float = 0.01)
             print(f"  smooth[{name}]: {now - _t:.2f}s", file=_sys.stderr, flush=True)
             _t = now
 
-    src, dst, _ = _adjacency(mesh)
+    deg_pts, nbr = _csr_adjacency(mesh)
     _mark("adjacency")
     nv = bucket_size(mesh.n_points + 1)
     dummy = nv - 1
-    deg_pts = np.bincount(src, minlength=mesh.n_points)
+    k = int(bucket_size(max(int(deg_pts.max()) if len(deg_pts) else 1, 1),
+                        minimum=_K_LOW))
     tiered = _tiered_slots(deg_pts, nv)
     if tiered is not None:
         slots, n8p = tiered
-        tbl, _deg = _neighbor_table(
-            slots[src].astype(np.int64), slots[dst].astype(np.int32), nv, dummy
-        )
+        tbl = _table_from_csr(deg_pts, nbr, nv, k, dummy, slots)
         vp = np.zeros((nv, 3), np.float32)
         vp[slots] = mesh.vertices
         n_high = int((deg_pts > _K_LOW).sum())
@@ -258,7 +295,7 @@ def smooth_mesh(mesh: Mesh, num_iterations: int = 150, relaxation: float = 0.01)
         res.vertices = out_np[slots]
         return res
 
-    tbl, _deg = _neighbor_table(src, dst, nv, dummy)
+    tbl = _table_from_csr(deg_pts, nbr, nv, k, dummy)
     n_upd = _upd_rows(mesh.n_points, nv, nv)
     out = _smooth_loop(
         jnp.asarray(pad_rows(mesh.vertices, nv)),
