@@ -291,6 +291,10 @@ def main():
             "tc_mesh_points": int(tc_inner.n_points),
             "fc_thickness_median_mm": round(fc_med, 3),
             "stage_seconds": {k: v["seconds"] for k, v in result.timings.items()},
+            # per-registration quality signals (VERDICT r4 #3b): folded-
+            # Jacobian fraction + inverse-consistency error of the production
+            # registration (engine.registration.ICON_Registration.last_quality)
+            "registration_quality": result.registration_quality,
             # BASELINE.md tracked metric: 3D UNet voxels/sec through the
             # segment stage (the ACTUAL inference tiles on the 160x384x384
             # volume — auto z-slabs by default, segmenter.partition_for)
@@ -361,7 +365,14 @@ def main():
         t8 = {k: v["seconds"] for k, v in r8[0].timings.items()}
         batch8_device = t8.get("device_batch", float("nan"))
         batch8_thickness = t8.get("thickness_batch", 0.0)
-        v5e8_seconds_per_batch = batch8_device / 8.0 + batch8_thickness
+        # the grouped Laplacian smoothing's leading (per-knee) axis shards
+        # over the data mesh (mesh/ops.smooth_mesh_groups; parity + sharded
+        # execution validated by tests/test_mesh.py and dryrun_multichip), so
+        # on a v5e-8 each chip smooths its own knee's meshes: charge smooth/8
+        # in the projection; the remaining substages stay charged serially
+        batch8_smooth = t8.get("thickness_smooth", 0.0)
+        v5e8_thickness = batch8_thickness - batch8_smooth + batch8_smooth / 8.0
+        v5e8_seconds_per_batch = batch8_device / 8.0 + v5e8_thickness
         projected_v5e8 = 8 * 3600.0 / max(v5e8_seconds_per_batch, 1e-9)
         # record the measured B=8 numbers BEFORE the (riskier) pipelined
         # probe — r04's first run lost them when the pipelined probe OOMed
@@ -370,20 +381,23 @@ def main():
                 "batch8_seconds_total": round(batch8_total, 2),
                 "batch8_device_seconds": round(batch8_device, 2),
                 "batch8_thickness_seconds": round(batch8_thickness, 2),
+                "batch8_thickness_smooth_seconds": round(batch8_smooth, 2),
                 "projected_v5e8_knees_per_hour": round(projected_v5e8, 1),
                 "projected_v5e8_pipelined_knees_per_hour": round(
-                    8 * 3600.0 / max(batch8_device / 8.0, batch8_thickness, 1e-9), 1
+                    8 * 3600.0 / max(batch8_device / 8.0, v5e8_thickness, 1e-9), 1
                 ),
                 "projection_assumption": (
                     "measured B=8 batch on one chip: device stages run the 8 "
                     "knees sequentially (lax.map) and shard 1/chip on a v5e-8 "
                     "with no cross-chip collectives (dryrun-validated), so "
-                    "per-batch time there = device_batch/8 + the measured B=8 "
-                    "batched thickness; the pipelined figure additionally "
-                    "overlaps batch k's thickness with batch k+1's device "
-                    "stages (run_batches; one-chip overlap measured as "
-                    "batch_overlap_gain), giving per-batch "
-                    "max(device/8, thickness)"
+                    "per-batch time there = device_batch/8 + thickness, where "
+                    "thickness charges the grouped per-knee Laplacian "
+                    "smoothing (sharded 1 knee/chip, dryrun-validated) at "
+                    "smooth/8 and the remaining substages serially; the "
+                    "pipelined figure additionally overlaps batch k's "
+                    "thickness with batch k+1's device stages (run_batches; "
+                    "one-chip overlap measured as batch_overlap_gain), giving "
+                    "per-batch max(device/8, thickness)"
                 ),
             }
         )

@@ -36,6 +36,13 @@ class KneeResult:
     tc_inner: Mesh
     tc_outer: Mesh
     timings: dict
+    # atlas-mapped 2D thickness products (engine.atlas_products.map_knee
+    # payload) — populated when the pipeline was built with
+    # atlas_products=True; the cohort-comparable representation
+    thickness_2d: Optional[dict] = None
+    # per-registration quality signals (ICON_Registration.last_quality:
+    # folded-Jacobian fraction + inverse-consistency error)
+    registration_quality: Optional[dict] = None
 
 
 class KneePipeline:
@@ -54,6 +61,8 @@ class KneePipeline:
         finetune_scales: Tuple[int, ...] = (2,),
         finetune_lr: float = 0.15,
         warp_dtype: str = "float32",
+        atlas_products: bool = False,
+        atlas_dir: Optional[Path] = None,
     ):
         """registration_mode: "auto" uses the shipped trained GradICON when
         its weights exist (one forward pass + `finetune_steps` of per-pair
@@ -63,6 +72,15 @@ class KneePipeline:
         warp_dtype: "bfloat16" gathers probmap voxels at half HBM bandwidth
         during the warp stage (<~4e-3 absolute error on [0,1] maps — see
         ops.resample.resample_images); "float32" (default) is exact.
+
+        atlas_products: also map each knee's thickness onto the common
+        atlas meshes and rasterize to the fixed 2D grid (the reference
+        FullDemo cells 9-12 chain, engine.atlas_products) — results land
+        in KneeResult.thickness_2d, run_path() writes them as
+        `<stem>_thickness_2d.npz`, and CohortRunner aggregates them into a
+        population thickness atlas. atlas_dir locates the release's
+        atlas_fc/tc.nii.gz probmaps; without it (or offline) the atlas
+        image is segmented once with this pipeline's segmenter.
 
         N.B. with the shipped (synthetic-phantom-trained) GradICON weights
         present, "auto" registration resolves to the network path: ~40x
@@ -95,6 +113,27 @@ class KneePipeline:
             finetune_lr=finetune_lr,
         )
         self.reg_config = self.registerer.config  # possibly checkpoint-adapted
+        # atlas_products: False | True | a prebuilt AtlasThicknessMapper
+        # (injection covers custom grids/filter thresholds or a shared
+        # mapper across pipelines)
+        self.atlas_products = bool(atlas_products)
+        self.atlas_dir = atlas_dir
+        self._atlas_mapper = (
+            atlas_products if not isinstance(atlas_products, bool) else None
+        )
+
+    def _get_mapper(self):
+        """Lazily build the AtlasThicknessMapper: the atlas 2D embedding is
+        knee-independent, so it is computed once per pipeline."""
+        if self._atlas_mapper is None:
+            from oai_analysis_2_tpu.engine.atlas_products import (
+                AtlasThicknessMapper,
+            )
+
+            self._atlas_mapper = AtlasThicknessMapper.from_segmenter(
+                self.segmenter, self.atlas, atlas_dir=self.atlas_dir
+            )
+        return self._atlas_mapper
 
     def run(self, image: Image) -> KneeResult:
         import jax
@@ -125,6 +164,11 @@ class KneePipeline:
                 [fc_w, tc_w], ["FC", "TC"]
             )
 
+        thickness_2d = None
+        if self.atlas_products:
+            with timer.stage("atlas_map"):
+                thickness_2d = self._get_mapper().map_knee(fc_inner, tc_inner)
+
         return KneeResult(
             fc_probmap=fc_w,
             tc_probmap=tc_w,
@@ -133,6 +177,8 @@ class KneePipeline:
             tc_inner=tc_inner,
             tc_outer=tc_outer,
             timings=timer.report(),
+            thickness_2d=thickness_2d,
+            registration_quality=self.registerer.last_quality,
         )
 
     def run_path(
@@ -150,11 +196,25 @@ class KneePipeline:
             "fc_points": result.fc_inner.n_points,
             "tc_points": result.tc_inner.n_points,
         }
+        if result.registration_quality is not None:
+            meta["registration_quality"] = result.registration_quality
+        if result.thickness_2d is not None:
+            from oai_analysis_2_tpu.engine.atlas_products import (
+                thickness_map_stats,
+            )
+
+            meta.update(thickness_map_stats(result.thickness_2d))
         if output_dir is not None:
             output_dir = Path(output_dir)
             output_dir.mkdir(parents=True, exist_ok=True)
             stem = Path(str(nifti_path)).name.split(".")[0]
             result.fc_inner.save_vtk(output_dir / f"{stem}_FC_inner.vtk")
             result.tc_inner.save_vtk(output_dir / f"{stem}_TC_inner.vtk")
+            result.fc_outer.save_vtk(output_dir / f"{stem}_FC_outer.vtk")
+            result.tc_outer.save_vtk(output_dir / f"{stem}_TC_outer.vtk")
+            if result.thickness_2d is not None:
+                t2d = output_dir / f"{stem}_thickness_2d.npz"
+                np.savez_compressed(t2d, **result.thickness_2d)
+                meta["thickness_2d"] = str(t2d)
             meta["outputs"] = str(output_dir)
         return meta

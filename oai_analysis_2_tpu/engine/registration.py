@@ -144,6 +144,7 @@ def register_pair(
     b_on_grid: Optional[jax.Array] = None,
     gicon_grad: Optional[str] = None,
     early_stop: Optional[float] = None,
+    quality_out: Optional[dict] = None,
 ) -> Tuple[DisplacementField, DisplacementField]:
     """Register two physical-space images; returns (phi_AB, phi_BA) as
     displacement fields. phi_AB warps A-grid data onto B's grid (it maps
@@ -165,7 +166,14 @@ def register_pair(
     (models.gradicon.INSTANCE_DEFAULT_GICON_GRAD).
 
     early_stop: plateau tolerance for the instance/fine-tune loops (None =
-    fixed step counts); see models.gradicon.register_pair_instance."""
+    fixed step counts); see models.gradicon.register_pair_instance.
+
+    quality_out: a dict to receive per-registration quality signals
+    (models.gradicon.map_quality_stats): inverse-consistency error in
+    voxels and mm (via the A-grid spacing) and the folded-Jacobian
+    fraction of each map. Values are filled as DEVICE scalars — callers
+    float() them when convenient so the metric never adds a tunnel sync
+    to the registration hot path."""
     from oai_analysis_2_tpu.models.gradicon import INSTANCE_DEFAULT_GICON_GRAD
 
     gicon_grad = INSTANCE_DEFAULT_GICON_GRAD if gicon_grad is None else gicon_grad
@@ -217,6 +225,18 @@ def register_pair(
             early_stop=early_stop,
         )
 
+    if quality_out is not None:
+        from oai_analysis_2_tpu.models.gradicon import map_quality_stats
+
+        q = map_quality_stats(nmap_ab, nmap_ba)
+        # mm conversion: voxel-unit ICE x the mean A-grid voxel pitch (the
+        # grids are isotropic per axis; a per-axis exact norm would need the
+        # per-axis error vector — mean pitch is the standard reporting form)
+        pitch = float(np.mean(np.asarray(grid_a.spacing)))
+        quality_out.update(q)
+        quality_out["ice_mean_mm"] = q["ice_mean_vox"] * pitch
+        quality_out["ice_max_mm"] = q["ice_max_vox"] * pitch
+
     # nmap_ab: A-grid coords -> B-grid coords (pullback of B onto A).
     disp_ab_on_b = _maps_to_displacement(nmap_ba, grid_a, grid_b)
     disp_ba_on_a = _maps_to_displacement(nmap_ab, grid_b, grid_a)
@@ -250,6 +270,7 @@ class ICON_Registration:
         verbose: bool = False,
         gicon_grad: Optional[str] = None,
         early_stop: Optional[float] = None,
+        collect_quality: bool = True,
     ):
         from oai_analysis_2_tpu.models.gradicon import (
             default_gradicon_weights_path,
@@ -279,6 +300,11 @@ class ICON_Registration:
         self.early_stop = early_stop
         self.model: Optional[GradICON] = None
         self.params: Optional[List[dict]] = None
+        # per-registration quality signals (folded-Jacobian fraction,
+        # inverse-consistency error) — computed on-device inside register()
+        # when collect_quality; read via `last_quality` (syncs the scalars)
+        self.collect_quality = collect_quality
+        self._last_quality_dev: Optional[dict] = None
 
         # the per-scale stage UNets (two 2x pools) need every grid dim
         # divisible by max_scale * 4; instance mode has no such constraint
@@ -393,6 +419,7 @@ class ICON_Registration:
             self._moving_on_grid_cache[key] = (moving_image.data, b_on_grid)
         else:
             _, b_on_grid = cached
+        quality: Optional[dict] = {} if self.collect_quality else None
         phi_ab, _ = register_pair(
             fixed_image,
             moving_image,
@@ -407,5 +434,19 @@ class ICON_Registration:
             b_on_grid=b_on_grid,
             gicon_grad=self.gicon_grad,
             early_stop=self.early_stop,
+            quality_out=quality,
         )
+        self._last_quality_dev = quality
         return phi_ab
+
+    @property
+    def last_quality(self) -> Optional[dict]:
+        """Quality metrics of the most recent register() call as floats:
+        {fold_fraction_ab, fold_fraction_ba, ice_mean_vox, ice_max_vox,
+        ice_mean_mm, ice_max_mm}. Syncing the device scalars happens here,
+        off the hot path; None before any call or with collect_quality=False.
+        """
+        q = self._last_quality_dev
+        if not q:
+            return None
+        return {k: round(float(v), 6) for k, v in q.items()}

@@ -308,6 +308,121 @@ def smooth_mesh(mesh: Mesh, num_iterations: int = 150, relaxation: float = 0.01)
     return res
 
 
+@partial(jax.jit, static_argnames=("num_iterations", "n8p"))
+def _smooth_loop_tiered_batched(verts, tbl8, tbl16, n8p: int,
+                                num_iterations: int, relaxation):
+    """vmap of `_smooth_loop_tiered` over a leading group axis. The gather
+    stays within each group's slice, so sharding the leading axis over a
+    device mesh runs each group's smoothing on its own chip with NO
+    collectives — the SPMD form of the batched-thickness stage (one knee's
+    FC+TC union per group). Returns only the two occupied zones
+    (G, n8u + n16u, 3): the inter-zone padding rows are immovable and
+    pulling them is pure tunnel payload."""
+    out = jax.vmap(
+        lambda v, t8, t16: _smooth_loop_tiered(
+            v, t8, t16, n8p, num_iterations, relaxation
+        )
+    )(verts, tbl8, tbl16)
+    n8u = tbl8.shape[1]
+    n16u = tbl16.shape[1]
+    return jnp.concatenate(
+        [out[:, :n8u], out[:, n8p : n8p + n16u]], axis=1
+    )
+
+
+def smooth_mesh_groups(
+    groups,
+    num_iterations: int = 150,
+    relaxation: float = 0.01,
+    sharding=None,
+):
+    """Smooth groups of meshes (one group = one knee's tissue set) as a
+    STACKED batch: each group becomes a disjoint union padded to shared
+    zone geometry, and one vmapped tiered loop smooths all groups. With
+    `sharding` (a jax NamedSharding over the leading axis) each group's
+    smoothing runs on its own device — the multi-chip form of the cohort
+    batch's thickness stage. Falls back to the union path when the shared
+    tiered layout doesn't fit. Returns a list of lists mirroring `groups`."""
+    groups = [list(g) for g in groups]
+    flat = [m for g in groups for m in g]
+    if not flat:
+        return [[] for _ in groups]
+
+    unions, csrs = [], []
+    for g in groups:
+        offsets = np.cumsum([0] + [m.n_points for m in g])
+        union = Mesh(
+            np.concatenate([m.vertices for m in g]),
+            np.concatenate(
+                [m.faces + offsets[i] for i, m in enumerate(g)]
+            ).astype(np.int32),
+        )
+        unions.append((union, offsets))
+        csrs.append(_csr_adjacency(union))
+
+    nv = max(bucket_size(u.n_points + 1) for u, _ in unions)
+    dummy = nv - 1
+    k = max(
+        int(bucket_size(max(int(deg.max()) if len(deg) else 1, 1), minimum=_K_LOW))
+        for deg, _ in csrs
+    )
+    n_highs = [int((deg > _K_LOW).sum()) for deg, _ in csrs]
+    cap = max(bucket_size(nh + 1, minimum=8) for nh in n_highs)
+    n8p = nv - cap
+    n_lows = [len(deg) - nh for (deg, _), nh in zip(csrs, n_highs)]
+    if n8p <= 0 or max(n_lows) > n8p or k < _K_LOW:
+        # shared tiered layout doesn't fit — smooth everything as one union
+        smoothed = smooth_meshes(flat, num_iterations, relaxation)
+        out, i = [], 0
+        for g in groups:
+            out.append(smoothed[i : i + len(g)])
+            i += len(g)
+        return out
+    n8u = _upd_rows(max(n_lows), n8p, nv)
+    n16u = _upd_rows(max(n_highs), cap, nv)
+
+    vps, t8s, t16s, slot_list = [], [], [], []
+    for (union, _), (deg, nbr), nh in zip(unions, csrs, n_highs):
+        high = deg > _K_LOW
+        slots = np.empty(union.n_points, np.int64)
+        slots[~high] = np.arange(union.n_points - nh)
+        slots[high] = n8p + np.arange(nh)
+        tbl = _table_from_csr(deg, nbr, nv, k, dummy, slots)
+        vp = np.zeros((nv, 3), np.float32)
+        vp[slots] = union.vertices
+        vps.append(vp)
+        t8s.append(tbl[:n8u, :_K_LOW])
+        t16s.append(tbl[n8p : n8p + n16u])
+        slot_list.append(slots)
+
+    verts = jnp.asarray(np.stack(vps))
+    tbl8 = jnp.asarray(np.stack(t8s))
+    tbl16 = jnp.asarray(np.stack(t16s))
+    if sharding is not None:
+        verts = jax.device_put(verts, sharding)
+        tbl8 = jax.device_put(tbl8, sharding)
+        tbl16 = jax.device_put(tbl16, sharding)
+    pulled = np.asarray(
+        _smooth_loop_tiered_batched(
+            verts, tbl8, tbl16, int(n8p), int(num_iterations),
+            jnp.float32(relaxation),
+        )
+    )
+    out = []
+    for gi, (g, (union, offsets), slots) in enumerate(
+        zip(groups, unions, slot_list)
+    ):
+        pull_rows = np.where(slots < n8p, slots, n8u + slots - n8p)
+        uverts = pulled[gi][pull_rows]
+        meshes = []
+        for i, m in enumerate(g):
+            r = m.copy()
+            r.vertices = uverts[offsets[i] : offsets[i + 1]]
+            meshes.append(r)
+        out.append(meshes)
+    return out
+
+
 def smooth_meshes(meshes, num_iterations: int = 150, relaxation: float = 0.01):
     """Smooth several meshes in ONE jitted loop via their disjoint union —
     Laplacian smoothing never crosses components, so the union is exact and

@@ -8,7 +8,7 @@ distance, attribute transfer) runs on TPU via the ops modules.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -144,16 +144,29 @@ def get_thickness_meshes(
     level: float = 0.5,
     filter_threshold: int = 3000,
     method: str = "mc",
+    group_size: int = 0,
+    smooth_sharding=None,
+    timings_out: Optional[dict] = None,
 ):
-    """Batched variant for multiple tissues of one knee (FC + TC): surfaces
-    are extracted per map but Laplacian-smoothed as ONE disjoint union (the
+    """Batched variant for multiple tissues (FC + TC of one or many knees):
+    surfaces are extracted per map but Laplacian-smoothed together (the
     sequential 150-iteration loop is the latency floor of the thickness
-    stage — paying it once halves it). Returns [(inner, outer), ...]."""
+    stage — paying it once amortizes it over every tissue).
+
+    `group_size` > 0 stacks consecutive runs of that many tissues (one
+    knee's FC+TC) into the vmapped per-group smoothing loop
+    (`smooth_mesh_groups`), whose leading axis shards over a device mesh —
+    pass `smooth_sharding` (a NamedSharding over that axis) to run each
+    knee's smoothing on its own chip. group_size == 0 keeps the one-union
+    loop. `timings_out` (a dict) receives per-substage wall seconds
+    (mc/components/smooth/split/distance) — bench uses the smooth share to
+    project its division across a device mesh. Returns [(inner, outer), ...].
+    """
     import os
     import time as _time
 
     from oai_analysis_2_tpu.mesh.marching_cubes import marching_cubes_multi
-    from oai_analysis_2_tpu.mesh.ops import smooth_meshes
+    from oai_analysis_2_tpu.mesh.ops import smooth_mesh_groups, smooth_meshes
 
     # substage wall-clock prints for on-chip profiling (stderr), without
     # perturbing the production path: OAI_TPU_THICKNESS_PROFILE=1
@@ -162,12 +175,14 @@ def get_thickness_meshes(
 
     def _mark(name):
         nonlocal _t
+        now = _time.time()
+        if timings_out is not None:
+            timings_out[name] = round(now - _t, 4)
         if _prof:
             import sys as _sys
 
-            now = _time.time()
             print(f"thickness[{name}]: {now - _t:.2f}s", file=_sys.stderr, flush=True)
-            _t = now
+        _t = now
 
     vols = [_as_xyz(image) for image in images]
     spacings = [tuple(float(s) for s in np.asarray(im.spacing)) for im in images]
@@ -183,7 +198,15 @@ def get_thickness_meshes(
     _mark("mc")
     raws = [filter_small_components(r, filter_threshold) for r in extracted]
     _mark("components")
-    smoothed = smooth_meshes(raws, num_iterations=num_iterations)
+    if group_size and len(raws) % group_size == 0:
+        grouped = smooth_mesh_groups(
+            [raws[i : i + group_size] for i in range(0, len(raws), group_size)],
+            num_iterations=num_iterations,
+            sharding=smooth_sharding,
+        )
+        smoothed = [m for g in grouped for m in g]
+    else:
+        smoothed = smooth_meshes(raws, num_iterations=num_iterations)
     _mark("smooth")
     # dispatch every distance kernel BEFORE pulling any result: each early
     # host sync is a tunnel round trip that serializes the remaining device

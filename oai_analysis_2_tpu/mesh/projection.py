@@ -110,7 +110,9 @@ def rasterize_thickness(
     xi = np.clip(((x2d - xmin) / max(xmax - xmin, 1e-12) * (w - 1)).astype(int), 0, w - 1)
     yi = np.clip(((y2d - ymin) / max(ymax - ymin, 1e-12) * (h - 1)).astype(int), 0, h - 1)
     flat = yi * w + xi
+    # N.B. bincount returns int64 (not float64) for an EMPTY weights array
     sums = np.bincount(flat, weights=thickness, minlength=h * w).reshape(h, w)
+    sums = sums.astype(np.float64, copy=False)
     counts = np.bincount(flat, minlength=h * w).reshape(h, w)
     mean = np.divide(sums, counts, out=np.zeros_like(sums), where=counts > 0)
     return mean.astype(np.float32), counts.astype(np.int32), bounds

@@ -192,6 +192,49 @@ def gradicon_penalty_alternating(phi_ab: jax.Array, phi_ba: jax.Array) -> jax.Ar
     )
 
 
+@jax.jit
+def map_quality_stats(phi_ab: jax.Array, phi_ba: jax.Array) -> dict:
+    """Per-registration quality signals, all on-device (one jitted program):
+
+      * inverse-consistency error: || (phi_AB o phi_BA)(x) - x || over the
+        grid interior, in VOXEL units per axis (callers convert to mm with
+        the grid spacing) — the production form of the GradICON training
+        penalty (reference: ICON/GradICON's inverse-consistency objective);
+      * folded-Jacobian fraction per map: voxels where det(d phi/dx) <= 0,
+        i.e. where the transform is locally non-invertible (the standard
+        deformable-registration pathology metric; VALIDATION.md measured
+        5.7% on cross-anatomy phantoms — this surfaces it per registration).
+
+    Returns {"ice_mean_vox", "ice_max_vox", "fold_fraction_ab",
+    "fold_fraction_ba"} as device scalars.
+    """
+    shape = phi_ab.shape[:3]
+    vox = jnp.asarray([s - 1.0 for s in shape], jnp.float32)
+    comp = compose(phi_ab, phi_ba)
+    ice = (comp - identity_map(shape)) * vox
+    # interior crop: boundary compositions sample clamped/out-of-cube points
+    interior = tuple(slice(2, -2) for _ in range(3))
+    ice_n = jnp.sqrt(jnp.sum(ice[interior] ** 2, axis=-1))
+
+    def fold_fraction(phi):
+        # J[i, j] = d(phi_i * (N_i - 1)) / d(voxel x_j): forward differences
+        # (one voxel step along axis j), cropped to the common
+        # (D-1, H-1, W-1) corner; identity map -> J = I
+        crop = (slice(0, shape[0] - 1), slice(0, shape[1] - 1),
+                slice(0, shape[2] - 1))
+        cols = [(jnp.diff(phi, axis=j) * vox)[crop] for j in range(3)]
+        jac = jnp.stack(cols, axis=-1)  # (..., 3 components, 3 d/dx_j)
+        det = jnp.linalg.det(jac)
+        return jnp.mean(det <= 0.0)
+
+    return {
+        "ice_mean_vox": jnp.mean(ice_n),
+        "ice_max_vox": jnp.max(ice_n),
+        "fold_fraction_ab": fold_fraction(phi_ab),
+        "fold_fraction_ba": fold_fraction(phi_ba),
+    }
+
+
 def diffusion_penalty(phi: jax.Array) -> jax.Array:
     """Smoothness of the displacement u = phi - id (first differences)."""
     u = phi - identity_map(phi.shape[:3])

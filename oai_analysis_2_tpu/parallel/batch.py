@@ -459,11 +459,28 @@ class BatchKneePipeline:
             # disjoint union — per-knee serial thickness is what stops a
             # B-knee batch from scaling (device stages shard; host-side
             # per-knee loops do not)
+            # one knee's FC+TC per smoothing group: the vmapped group loop's
+            # leading axis shards over the data mesh, so each chip smooths
+            # its own knees' meshes (no collectives; see smooth_mesh_groups)
+            smooth_sharding = None
+            if self.mesh is not None and len(images) % self.n_devices == 0:
+                flat = Mesh(self.mesh.devices.reshape(-1), ("data",))
+                smooth_sharding = NamedSharding(flat, P("data"))
+            sub = {}
             with timer.stage("thickness_batch"):
                 pairs = get_thickness_meshes(
                     [m for fc, tc in probmaps for m in (fc, tc)],
                     ["FC", "TC"] * len(images),
+                    group_size=2,
+                    smooth_sharding=smooth_sharding,
+                    timings_out=sub,
                 )
+            # surface the substage split: "smooth" is the grouped vmapped
+            # loop whose leading (per-knee) axis shards over the data mesh,
+            # so bench's multi-chip projection may divide it by chip count
+            for name, secs in sub.items():
+                timer.totals[f"thickness_{name}"] += secs
+                timer.counts[f"thickness_{name}"] += 1
         else:
             pairs = [(None, None)] * (2 * len(images))
         results = []

@@ -395,12 +395,56 @@ class CohortRunner:
             "n_hosts": self.n_hosts,
             "scheduling": self.scheduling,
         }
+        atlas = self._aggregate_thickness_atlas(keys)
+        if atlas is not None:
+            out["thickness_atlas"] = atlas
         path = self.manifest.path.parent / (self.manifest.path.name + ".summary.json")
         try:
             path.write_text(json.dumps(out, indent=1))
         except OSError:
             pass
         return summary
+
+    def _aggregate_thickness_atlas(self, keys: Sequence[str]):
+        """Fold every done knee's atlas-mapped 2D raster (the
+        `thickness_2d` path a KneePipeline(atlas_products=True).run_path
+        records) into a population mean/count thickness atlas — written as
+        `<manifest>.thickness_atlas.npz`. Reads the MERGED manifest, so on a
+        multi-host run whichever host finishes last aggregates every host's
+        knees. Returns scalar stats for the summary JSON, or None when no
+        knee produced rasters."""
+        t2d_paths = [
+            p
+            for k in keys
+            if (r := self.manifest.items.get(k))
+            and r.get("status") == "done"
+            and (p := (r.get("result") or {}).get("thickness_2d"))
+        ]
+        if not t2d_paths:
+            return None
+        from oai_analysis_2_tpu.engine.atlas_products import (
+            aggregate_thickness_maps,
+        )
+
+        atlas_path = self.manifest.path.parent / (
+            self.manifest.path.name + ".thickness_atlas.npz"
+        )
+        try:
+            agg = aggregate_thickness_maps(t2d_paths, out_path=atlas_path)
+        except OSError:
+            return None
+        if agg is None:
+            return None
+        stats = {"path": str(atlas_path), "n_knees": int(agg["n_knees"])}
+        for name in ("fc", "tc"):
+            c = agg[f"{name}_counts"]
+            m = agg[f"{name}_mean"]
+            occ = c > 0
+            stats[f"{name}_mean_thickness_mm"] = (
+                round(float(m[occ].mean()), 4) if occ.any() else 0.0
+            )
+            stats[f"{name}_raster_coverage"] = round(float(occ.mean()), 4)
+        return stats
 
     # -- scheduling loops ---------------------------------------------------------
 

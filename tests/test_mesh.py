@@ -346,6 +346,48 @@ class TestBatchedThickness:
             np.testing.assert_array_equal(bi.vertices, si.vertices)
             np.testing.assert_array_equal(bo.faces, so.faces)
 
+    def test_grouped_smoothing_matches_individual(self):
+        """smooth_mesh_groups (the vmapped per-knee stacked loop, sharded
+        over the data axis in the cohort batch) must match per-mesh
+        smooth_mesh up to f32 sum reordering — with and without an actual
+        8-device sharding."""
+        import jax
+        from jax.sharding import Mesh as JMesh
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        from oai_analysis_2_tpu.mesh.ops import smooth_mesh, smooth_mesh_groups
+
+        vols = [
+            _ball_volume(20, r=6, center=(10, 10, 10)),
+            _ball_volume(16, r=5, center=(8, 8, 8)),
+            _ball_volume(18, r=6, center=(9, 9, 9)),
+            _ball_volume(22, r=7, center=(11, 11, 11)),
+        ]
+        meshes = [marching_tetrahedra(v, 0.5) for v in vols]
+        groups = [meshes[:2], meshes[2:]]
+        solos = [smooth_mesh(m, num_iterations=30) for m in meshes]
+
+        for sharding in (
+            None,
+            NamedSharding(JMesh(np.array(jax.devices()[:2]), ("data",)), P("data")),
+        ):
+            out = smooth_mesh_groups(groups, num_iterations=30, sharding=sharding)
+            flat = [m for g in out for m in g]
+            assert len(flat) == 4
+            for got, want in zip(flat, solos):
+                np.testing.assert_allclose(got.vertices, want.vertices, atol=2e-4)
+
+    def test_grouped_smoothing_empty_group_member(self):
+        from oai_analysis_2_tpu.mesh.ops import smooth_mesh_groups
+        from oai_analysis_2_tpu.mesh.types import Mesh
+
+        empty = Mesh(np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32))
+        m = marching_tetrahedra(_ball_volume(16, r=5, center=(8, 8, 8)), 0.5)
+        out = smooth_mesh_groups([[m, empty], [empty, empty]], num_iterations=10)
+        assert out[0][1].n_points == 0 and out[1][0].n_points == 0
+        assert out[0][0].n_points == m.n_points
+
     def test_get_thickness_meshes_batch(self):
         from oai_analysis_2_tpu.mesh.processing import get_thickness_meshes
 

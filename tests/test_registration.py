@@ -300,3 +300,69 @@ class TestShippedWeights:
             mode="auto", config=g.GradICONConfig(stage_width=16)
         )
         assert reg2.mode == "instance"
+
+
+class TestQualityMetrics:
+    """map_quality_stats (models/gradicon.py) + its production surfacing
+    (ICON_Registration.last_quality; VERDICT r4 #3b)."""
+
+    def test_identity_maps_are_perfect(self):
+        from oai_analysis_2_tpu.models.gradicon import map_quality_stats
+
+        ident = identity_map((12, 16, 16))
+        q = {k: float(v) for k, v in map_quality_stats(ident, ident).items()}
+        assert q["ice_mean_vox"] < 1e-5 and q["ice_max_vox"] < 1e-4
+        assert q["fold_fraction_ab"] == 0.0 and q["fold_fraction_ba"] == 0.0
+
+    def test_reflection_is_fully_folded(self):
+        from oai_analysis_2_tpu.models.gradicon import map_quality_stats
+
+        ident = identity_map((12, 16, 16))
+        # reflect the z component: det(J) = -1 everywhere
+        refl = ident.at[..., 0].set(1.0 - ident[..., 0])
+        q = map_quality_stats(refl, ident)
+        assert float(q["fold_fraction_ab"]) == 1.0
+        assert float(q["fold_fraction_ba"]) == 0.0
+
+    def test_inverse_pair_beats_mismatched_pair(self):
+        from oai_analysis_2_tpu.models.gradicon import map_quality_stats
+
+        shape = (12, 16, 16)
+        ident = identity_map(shape)
+        shift = jnp.zeros(ident.shape).at[..., 2].set(0.1)
+        fwd, inv = ident + shift, ident - shift
+        good = float(map_quality_stats(fwd, inv)["ice_mean_vox"])
+        bad = float(map_quality_stats(fwd, fwd)["ice_mean_vox"])
+        assert good < 0.2 * bad
+        # 0.1 normalized x-shift composed twice = 0.2 * (16-1) = 3 voxels
+        assert abs(bad - 2 * 0.1 * (shape[2] - 1)) < 0.3
+
+    def test_facade_surfaces_quality(self):
+        from oai_analysis_2_tpu.engine.registration import ICON_Registration
+
+        shape = (16, 32, 32)
+        a_img = image_from_array(_blob(shape, (8, 16, 18)))
+        b_img = image_from_array(_blob(shape, (8, 16, 14)))
+        reg = ICON_Registration(
+            mode="instance",
+            config=GradICONConfig(grid_shape=shape, scales=(2,)),
+            instance_scales=(2,), instance_steps=(5,),
+        )
+        assert reg.last_quality is None
+        reg.register(a_img, b_img)
+        q = reg.last_quality
+        assert set(q) >= {
+            "ice_mean_vox", "ice_max_vox", "ice_mean_mm", "ice_max_mm",
+            "fold_fraction_ab", "fold_fraction_ba",
+        }
+        assert 0.0 <= q["fold_fraction_ab"] <= 1.0
+        assert q["ice_mean_mm"] >= 0.0 and np.isfinite(q["ice_max_mm"])
+
+        off = ICON_Registration(
+            mode="instance",
+            config=GradICONConfig(grid_shape=shape, scales=(2,)),
+            instance_scales=(2,), instance_steps=(1,),
+            collect_quality=False,
+        )
+        off.register(a_img, b_img)
+        assert off.last_quality is None
