@@ -371,7 +371,15 @@ def main():
         # on a v5e-8 each chip smooths its own knee's meshes: charge smooth/8
         # in the projection; the remaining substages stay charged serially
         batch8_smooth = t8.get("thickness_smooth", 0.0)
-        v5e8_thickness = batch8_thickness - batch8_smooth + batch8_smooth / 8.0
+        # distance kernels dispatch per knee to their own chip
+        # (distance_to_surface_async(device=...); dryrun-validated) — divide
+        # like the smooth substage
+        batch8_distance = t8.get("thickness_distance", 0.0)
+        v5e8_thickness = (
+            batch8_thickness
+            - batch8_smooth - batch8_distance
+            + (batch8_smooth + batch8_distance) / 8.0
+        )
         v5e8_seconds_per_batch = batch8_device / 8.0 + v5e8_thickness
         projected_v5e8 = 8 * 3600.0 / max(v5e8_seconds_per_batch, 1e-9)
         # record the measured B=8 numbers BEFORE the (riskier) pipelined
@@ -382,6 +390,8 @@ def main():
                 "batch8_device_seconds": round(batch8_device, 2),
                 "batch8_thickness_seconds": round(batch8_thickness, 2),
                 "batch8_thickness_smooth_seconds": round(batch8_smooth, 2),
+                "batch8_thickness_distance_seconds": round(batch8_distance, 2),
+                "projected_v5e8_thickness_seconds": round(v5e8_thickness, 2),
                 "projected_v5e8_knees_per_hour": round(projected_v5e8, 1),
                 "projected_v5e8_pipelined_knees_per_hour": round(
                     8 * 3600.0 / max(batch8_device / 8.0, v5e8_thickness, 1e-9), 1
@@ -392,8 +402,9 @@ def main():
                     "with no cross-chip collectives (dryrun-validated), so "
                     "per-batch time there = device_batch/8 + thickness, where "
                     "thickness charges the grouped per-knee Laplacian "
-                    "smoothing (sharded 1 knee/chip, dryrun-validated) at "
-                    "smooth/8 and the remaining substages serially; the "
+                    "smoothing (sharded 1 knee/chip) and the per-knee-placed "
+                    "distance kernels (both dryrun-validated) at 1/8 and the "
+                    "remaining substages serially; the "
                     "pipelined figure additionally overlaps batch k's "
                     "thickness with batch k+1's device stages (run_batches; "
                     "one-chip overlap measured as batch_overlap_gain), giving "

@@ -510,13 +510,18 @@ def _surface_distance_impl(points, tri_a, tri_b, tri_c, point_chunk: int, tri_ch
 
 
 def distance_to_surface_async(
-    points: np.ndarray, target: Mesh, point_chunk: int = 2048, force_xla: bool = False
+    points: np.ndarray, target: Mesh, point_chunk: int = 2048,
+    force_xla: bool = False, device=None,
 ):
     """Dispatch the surface-distance kernel and return (device array, n)
     WITHOUT a host sync — callers processing many meshes dispatch all
     kernels first and pull results afterwards, so device compute overlaps
     the per-array tunnel transfers. n == 0 means a trivially-empty result
-    (no target cells or no points); the device handle is then None."""
+    (no target cells or no points); the device handle is then None.
+
+    `device` places the kernel on a specific jax.Device: a B-knee batch
+    runs knee i's distances on chip i (committed-input dispatch), the
+    knee-parallel form of the thickness distance substage."""
     if target.n_cells == 0 or len(points) == 0:
         return None, 0
     from oai_analysis_2_tpu.ops.bucketing import bucket_size, pad_rows
@@ -526,14 +531,18 @@ def distance_to_surface_async(
     )
 
     if pallas_available() and not force_xla:
-        return point_triangle_distance_pallas_async(points, target.triangles())
+        return point_triangle_distance_pallas_async(
+            points, target.triangles(), device=device
+        )
 
     tri_chunk = 8192
     tri_np = pad_rows(target.triangles().astype(np.float32),
                       bucket_size(max(target.n_cells, tri_chunk)), fill=1e8)
-    tri = jnp.asarray(tri_np)
     pts = pad_rows(np.asarray(points, np.float32),
                    bucket_size(max(len(points), point_chunk)))
+    if device is not None:
+        pts, tri_np = jax.device_put((pts, tri_np), device)
+    tri = jnp.asarray(tri_np)
     d = _surface_distance_impl(
         jnp.asarray(pts), tri[:, 0], tri[:, 1], tri[:, 2], point_chunk, tri_chunk,
     )
@@ -548,15 +557,21 @@ def _sync_distance(pending, n_points: int) -> np.ndarray:
 
 
 def _sync_distances(pendings, n_points_list):
-    """Pull MANY pending distance results in ONE transfer: the per-array
-    pull costs a tunnel round-trip each (32 pulls for an 8-knee batch's
-    16 tissues x 2 directions); device-concatenating first makes it one."""
+    """Pull MANY pending distance results in ONE transfer per device: the
+    per-array pull costs a tunnel round-trip each (32 pulls for an 8-knee
+    batch's 16 tissues x 2 directions); device-concatenating first makes it
+    one. Results dispatched to different devices (knee-parallel distance,
+    distance_to_surface_async(device=...)) are grouped — concatenation
+    never crosses a device boundary."""
     live = [(i, dev[:n]) for i, (dev, n) in enumerate(pendings) if n > 0]
     out = [np.zeros(n, np.float32) for n in n_points_list]
-    if live:
-        packed = np.asarray(jnp.concatenate([d for _, d in live]))
+    by_device: dict = {}
+    for i, d in live:
+        by_device.setdefault(next(iter(d.devices()), None), []).append((i, d))
+    for group in by_device.values():
+        packed = np.asarray(jnp.concatenate([d for _, d in group]))
         off = 0
-        for i, d in live:
+        for i, d in group:
             out[i] = packed[off : off + d.shape[0]]
             off += d.shape[0]
     return out

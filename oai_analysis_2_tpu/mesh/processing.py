@@ -146,6 +146,7 @@ def get_thickness_meshes(
     method: str = "mc",
     group_size: int = 0,
     smooth_sharding=None,
+    distance_devices=None,
     timings_out: Optional[dict] = None,
 ):
     """Batched variant for multiple tissues (FC + TC of one or many knees):
@@ -158,9 +159,13 @@ def get_thickness_meshes(
     (`smooth_mesh_groups`), whose leading axis shards over a device mesh —
     pass `smooth_sharding` (a NamedSharding over that axis) to run each
     knee's smoothing on its own chip. group_size == 0 keeps the one-union
-    loop. `timings_out` (a dict) receives per-substage wall seconds
-    (mc/components/smooth/split/distance) — bench uses the smooth share to
-    project its division across a device mesh. Returns [(inner, outer), ...].
+    loop. `distance_devices` (a list of jax.Device, one per tissue) places
+    each tissue's distance kernels on that device — with one device per
+    knee the distance substage runs knee-parallel across the mesh like the
+    grouped smoothing. `timings_out` (a dict) receives per-substage wall
+    seconds (mc/components/smooth/split/distance) — bench uses the smooth
+    and distance shares to project their division across a device mesh.
+    Returns [(inner, outer), ...].
     """
     import os
     import time as _time
@@ -219,13 +224,14 @@ def get_thickness_meshes(
     pending = []
     splits = split_meshes(smoothed, list(mesh_types))
     _mark("split")
-    for inner, outer in splits:
+    for t, (inner, outer) in enumerate(splits):
+        dev = distance_devices[t] if distance_devices is not None else None
         pending.append(
             (
                 inner,
                 outer,
-                distance_to_surface_async(inner.vertices, outer),
-                distance_to_surface_async(outer.vertices, inner),
+                distance_to_surface_async(inner.vertices, outer, device=dev),
+                distance_to_surface_async(outer.vertices, inner, device=dev),
             )
         )
     # ONE packed pull for every distance result (vs one round-trip each)

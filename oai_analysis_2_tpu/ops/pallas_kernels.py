@@ -127,20 +127,31 @@ def pallas_available() -> bool:
         return False
 
 
-def point_triangle_distance_pallas_async(points: np.ndarray, triangles: np.ndarray):
+def point_triangle_distance_pallas_async(
+    points: np.ndarray, triangles: np.ndarray, device=None
+):
     """Dispatch the distance kernel WITHOUT a host sync: returns
     (device (P_padded,) distances, n). Callers batching many meshes pull
     all results after dispatching everything — each early np.asarray is a
     full tunnel round trip that serializes device compute behind host
-    transfers."""
+    transfers.
+
+    `device`: a jax.Device to run on (committed-input placement). A B-knee
+    batch dispatches knee i's distance kernels to device i, so on a
+    multi-chip mesh the distance substage runs knee-parallel like the
+    grouped smoothing."""
+    import jax
+
     from oai_analysis_2_tpu.ops.bucketing import bucket_size, pad_rows
 
     p = np.asarray(points, np.float32)
     n = len(p)
     pp = pad_rows(p, bucket_size(max(n, TP)))
     tri = np.asarray(triangles, np.float32).reshape(-1, 9)
-    tt = pad_rows(tri, bucket_size(max(len(tri), TT)), fill=1e8)
-    d2 = _distance_pallas(jnp.asarray(pp), jnp.asarray(tt.T.copy()))
+    tt = pad_rows(tri, bucket_size(max(len(tri), TT)), fill=1e8).T.copy()
+    if device is not None:
+        pp, tt = jax.device_put((pp, tt), device)
+    d2 = _distance_pallas(jnp.asarray(pp), jnp.asarray(tt))
     return jnp.sqrt(d2[:, 0]), n
 
 

@@ -463,9 +463,17 @@ class BatchKneePipeline:
             # leading axis shards over the data mesh, so each chip smooths
             # its own knees' meshes (no collectives; see smooth_mesh_groups)
             smooth_sharding = None
+            distance_devices = None
             if self.mesh is not None and len(images) % self.n_devices == 0:
-                flat = Mesh(self.mesh.devices.reshape(-1), ("data",))
+                flat_devs = self.mesh.devices.reshape(-1)
+                flat = Mesh(flat_devs, ("data",))
                 smooth_sharding = NamedSharding(flat, P("data"))
+                # knee i's FC+TC distance kernels run on chip i (committed-
+                # input placement) — knee-parallel like the grouped smoothing
+                distance_devices = [
+                    flat_devs[(t // 2) % len(flat_devs)]
+                    for t in range(2 * len(images))
+                ]
             sub = {}
             with timer.stage("thickness_batch"):
                 pairs = get_thickness_meshes(
@@ -473,6 +481,7 @@ class BatchKneePipeline:
                     ["FC", "TC"] * len(images),
                     group_size=2,
                     smooth_sharding=smooth_sharding,
+                    distance_devices=distance_devices,
                     timings_out=sub,
                 )
             # surface the substage split: "smooth" is the grouped vmapped

@@ -378,6 +378,31 @@ class TestBatchedThickness:
             for got, want in zip(flat, solos):
                 np.testing.assert_allclose(got.vertices, want.vertices, atol=2e-4)
 
+    def test_distance_devices_parity(self):
+        """distance_to_surface_async placed on a non-default device (the
+        knee-parallel batch form) must return the same distances, and the
+        packed sync must handle mixed-device pending lists."""
+        import jax
+
+        from oai_analysis_2_tpu.mesh.ops import (
+            _sync_distances,
+            distance_to_surface,
+            distance_to_surface_async,
+        )
+
+        a = marching_tetrahedra(_ball_volume(18, r=6, center=(9, 9, 9)), 0.5)
+        b = marching_tetrahedra(_ball_volume(18, r=4, center=(9, 9, 9)), 0.5)
+        want = distance_to_surface(a.vertices, b)
+
+        devs = jax.devices()
+        pendings = [
+            distance_to_surface_async(a.vertices, b, device=devs[i % len(devs)])
+            for i in range(4)
+        ]
+        outs = _sync_distances(pendings, [a.n_points] * 4)
+        for got in outs:
+            np.testing.assert_allclose(got, want, atol=1e-5)
+
     def test_grouped_smoothing_empty_group_member(self):
         from oai_analysis_2_tpu.mesh.ops import smooth_mesh_groups
         from oai_analysis_2_tpu.mesh.types import Mesh
