@@ -7,6 +7,7 @@ operations:
     python -m oai_analysis_2_tpu pipeline <image.nii.gz> [-o out_dir]
     python -m oai_analysis_2_tpu cohort   <dir_of_volumes> [-o out_dir]
     python -m oai_analysis_2_tpu bench
+    python -m oai_analysis_2_tpu prewarm [--shape D,H,W]
 """
 
 from __future__ import annotations
@@ -42,6 +43,22 @@ def main(argv=None):
         )
 
     sub.add_parser("bench")
+    sub.add_parser(
+        "prewarm",
+        add_help=False,
+        help="compile/warm the production pipeline before first real knee",
+    )
+
+    if argv is None:
+        import sys as _sys
+
+        argv = _sys.argv[1:]
+    if argv and argv[0] == "prewarm":
+        # own argparse (forwards --shape/--registration-mode/...)
+        from oai_analysis_2_tpu.engine.prewarm import main as prewarm_main
+
+        prewarm_main(argv[1:])
+        return
 
     args = parser.parse_args(argv)
 
