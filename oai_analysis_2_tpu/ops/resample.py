@@ -25,6 +25,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from oai_analysis_2_tpu.core.image import Image, physical_grid
 
@@ -58,7 +59,29 @@ class DisplacementField:
         )
 
 
-def _trilinear_gather(volume: jnp.ndarray, idx_zyx: jnp.ndarray, outside_value: float):
+def _shift_clamped(v: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """v advanced one step along `axis` with edge clamp: out[i] = v[min(i+1, n-1)]
+    — the same semantics as the per-tap `min(i0+1, n-1)` index clamp."""
+    n = v.shape[axis]
+    head = lax.slice_in_dim(v, 1, n, axis=axis)
+    tail = lax.slice_in_dim(v, n - 1, n, axis=axis)
+    return jnp.concatenate([head, tail], axis=axis)
+
+
+def _pack_neighborhood(volume: jnp.ndarray) -> jnp.ndarray:
+    """(D,H,W,C) -> (D,H,W,8C): the 2x2x2 trilinear neighborhood packed into
+    the channel dim, lane order [dz, dy, dx, c], built from clamped +1 shifts
+    (a streaming concat — ~2 ms at production warp size)."""
+    p = volume
+    for ax in (2, 1, 0):
+        p = jnp.concatenate([p, _shift_clamped(p, ax)], axis=-1)
+    return p
+
+
+def _trilinear_gather(
+    volume: jnp.ndarray, idx_zyx: jnp.ndarray, outside_value: float,
+    pack: bool = False,
+):
     """Trilinear sample of a (D,H,W) or (D,H,W,C) volume at continuous
     (..., 3) z,y,x indices. Returns (..., [C]) samples; out-of-buffer -> outside.
 
@@ -66,9 +89,17 @@ def _trilinear_gather(volume: jnp.ndarray, idx_zyx: jnp.ndarray, outside_value: 
     gather path is ~1.7x faster than the equivalent 3-D gather at production
     warp sizes (tools/profile_warp.py: 1875 -> 1099 ms for the 2-channel
     160x384x384 probmap warp), and windowed (2,2,2,C) block gathers are a
-    non-starter (TPU tiled layouts pad the tiny trailing dims ~1000x). Taps
-    and lerp order are unchanged, so values are bit-identical to the 3-D
-    form."""
+    non-starter (TPU tiled layouts pad the tiny trailing dims ~1000x, and the
+    batch-last layouts that would fix that crash the TPU compiler at
+    production size — tools/profile_warp_gather.py).
+
+    pack=True additionally pre-packs the 2x2x2 neighborhood into the channel
+    dim (`_pack_neighborhood`) so each output point needs ONE gather row of
+    8C lanes instead of 8 rows of C: for the C=2 bf16 probmap warp each row
+    is 32 B — exactly one HBM granule — measured 2.7x faster than the 8-tap
+    form (tools/profile_warp_gather.py: 1102 -> 408 ms). Costs 8x the source
+    volume's HBM (transient) and one streaming pack pass; used by the fused
+    inference warp programs, not the differentiated registration path."""
     d, h, w = volume.shape[:3]
     z, y, x = idx_zyx[..., 0], idx_zyx[..., 1], idx_zyx[..., 2]
 
@@ -92,6 +123,16 @@ def _trilinear_gather(volume: jnp.ndarray, idx_zyx: jnp.ndarray, outside_value: 
     fz = jnp.clip(z - z0, 0.0, 1.0)
     fy = jnp.clip(y - y0, 0.0, 1.0)
     fx = jnp.clip(x - x0, 0.0, 1.0)
+
+    if pack and volume.ndim == 4 and 8 * volume.shape[3] <= 128:
+        c = volume.shape[3]
+        packed = _pack_neighborhood(volume).reshape(d * h * w, 8 * c)
+        win = jnp.take(packed, (z0 * h + y0) * w + x0, axis=0)  # [dz,dy,dx,c]
+        fzp, fyp, fxp = fz[..., None], fy[..., None], fx[..., None]
+        cz = win[..., : 4 * c] * (1 - fzp) + win[..., 4 * c :] * fzp
+        cy = cz[..., : 2 * c] * (1 - fyp) + cz[..., 2 * c :] * fyp
+        out = cy[..., :c] * (1 - fxp) + cy[..., c:] * fxp
+        return jnp.where(inside[..., None], out, outside_value)
 
     flat = volume.reshape((d * h * w,) + volume.shape[3:])
 
@@ -216,7 +257,7 @@ def _warp_jit_separable(stacked, moving: Image, reference: Image, field, wz, wy,
     )
     pts = pts + _upsample_field_separable(field, wz, wy, wx)
     idx_zyx = moving.physical_to_indices(pts)[..., ::-1]
-    return _trilinear_gather(stacked, idx_zyx, outside_value)
+    return _trilinear_gather(stacked, idx_zyx, outside_value, pack=True)
 
 
 @jax.jit
@@ -228,7 +269,7 @@ def _warp_jit_general(stacked, moving: Image, reference: Image,
     if displacement is not None:
         pts = pts + sample_displacement(displacement, pts)
     idx_zyx = moving.physical_to_indices(pts)[..., ::-1]
-    return _trilinear_gather(stacked, idx_zyx, outside_value)
+    return _trilinear_gather(stacked, idx_zyx, outside_value, pack=True)
 
 
 def _warp_stacked(stacked, moving: Image, reference: Image,

@@ -176,16 +176,31 @@ def trilinear_flat_scalar(vol3, idx_zyx, acc):
     return c0 * (1 - fz) + c1 * fz
 
 
-timed("flat 1-D gather C=2 bf16", trilinear_flat, probs, idx_pre)
-timed("flat 1-D gather C=1 bf16", trilinear_flat, probs[..., :1], idx_pre)
-timed("flat scalar bf16", trilinear_flat_scalar, probs[..., 0], idx_pre)
-timed("flat scalar f32", trilinear_flat_scalar, probs[..., 0].astype(jnp.float32), idx_pre)
-timed("full warp C=2 bf16", full_warp, probs, field)
-timed("field upsample only", upsample_only, field)
-timed("grid+idx (no gather)", grid_and_idx, field)
-timed("gather only C=2 bf16", gather_only, probs, idx_pre)
-timed("gather only C=1 bf16", gather_only, probs[..., :1], idx_pre)
-timed("gather only C=2 f32", gather_only, probs.astype(jnp.float32), idx_pre)
-# no-channel-axis gather (D,H,W): the layout the registration warp uses
-timed("gather only (D,H,W) f32", gather_only, probs[..., 0].astype(jnp.float32), idx_pre)
+def full_warp_packed(stacked, fld, acc):
+    pts = physical_grid(shape, atlas.origin, atlas.spacing, atlas.direction)
+    pts = pts + _upsample_field_separable(fld + acc, wz, wy, wx)
+    idx_zyx = moving.physical_to_indices(pts)[..., ::-1]
+    return _trilinear_gather(stacked, idx_zyx, 0.0, pack=True)
+
+
+VARIANTS = [
+    ("flat 1-D gather C=2 bf16", lambda: timed("flat 1-D gather C=2 bf16", trilinear_flat, probs, idx_pre)),
+    ("flat 1-D gather C=1 bf16", lambda: timed("flat 1-D gather C=1 bf16", trilinear_flat, probs[..., :1], idx_pre)),
+    ("flat scalar bf16", lambda: timed("flat scalar bf16", trilinear_flat_scalar, probs[..., 0], idx_pre)),
+    ("flat scalar f32", lambda: timed("flat scalar f32", trilinear_flat_scalar, probs[..., 0].astype(jnp.float32), idx_pre)),
+    ("full warp C=2 bf16", lambda: timed("full warp C=2 bf16", full_warp, probs, field)),
+    ("full warp packed C=2 bf16", lambda: timed("full warp packed C=2 bf16", full_warp_packed, probs, field)),
+    ("field upsample only", lambda: timed("field upsample only", upsample_only, field)),
+    ("grid+idx (no gather)", lambda: timed("grid+idx (no gather)", grid_and_idx, field)),
+    ("gather only C=2 bf16", lambda: timed("gather only C=2 bf16", gather_only, probs, idx_pre)),
+    ("gather only C=1 bf16", lambda: timed("gather only C=1 bf16", gather_only, probs[..., :1], idx_pre)),
+    ("gather only C=2 f32", lambda: timed("gather only C=2 f32", gather_only, probs.astype(jnp.float32), idx_pre)),
+    # no-channel-axis gather (D,H,W): the layout the registration warp uses
+    ("gather only (D,H,W) f32", lambda: timed("gather only (D,H,W) f32", gather_only, probs[..., 0].astype(jnp.float32), idx_pre)),
+]
+
+_only = sys.argv[1] if len(sys.argv) > 1 else None
+for _name, _fn in VARIANTS:
+    if _only is None or _only in _name:
+        _fn()
 print("PROFILE_WARP_DONE")

@@ -14,6 +14,17 @@ clamping via slice-start shift folded into the lerp weight):
   * xpair4T  — 4 lax.gather, slices (2,C) on (M,C), output (2,C,N)
   * yxc2T    — 2 lax.gather, slices (2,2C) on (D*H, W*C), output (2,2C,N)
   * zyxc1T   — 1 lax.gather, slice (2,2,2C) on (D,H,W*C), output (2,2,2C,N)
+
+Round-5 additions: instead of widening the gather SLICE (which the TPU
+compiler crashes on at production size), widen the gather ROW by
+pre-packing the 2x2x2 neighborhood into the channel dim with clamped
+rolls+concat, so each point needs ONE jnp.take row:
+  * pack4   — (M, 2C) rows [x0,x1 taps], 4 takes (z,y corners)
+  * pack8   — (M, 4C) rows [y,x window], 2 takes (z corners)
+  * pack16  — (M, 8C) rows [full 2x2x2 window], 1 take; 32 B/row for
+              C=2 bf16 = exactly one HBM granule
+The packed volume build is a streaming concat whose cost is included in
+the timing (built inside the timed fn).
 """
 import sys, time
 sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent.parent))
@@ -28,16 +39,25 @@ shape = (160, 384, 384)
 C = 2
 rng = np.random.default_rng(0)
 
-vol = jnp.asarray(
-    rng.uniform(0, 1, shape + (C,)).astype(np.float32)
-).astype(jnp.bfloat16)
-# smooth-ish sample points like a real registration warp (identity + a few
-# voxels of displacement)
-idx = jnp.asarray(
-    (np.stack(np.meshgrid(*[np.arange(s, dtype=np.float32) for s in shape],
-                          indexing="ij"), axis=-1)
-     + rng.normal(0, 3.0, shape + (3,))).astype(np.float32)
-)
+# build test data ON DEVICE: host->device of ~380 MB over the axon tunnel
+# can stall for minutes (NEXT.md environment lessons)
+@jax.jit
+def _make_data(key):
+    k1, k2 = jax.random.split(key)
+    vol = jax.random.uniform(k1, shape + (C,), jnp.float32).astype(jnp.bfloat16)
+    # smooth-ish sample points like a real registration warp (identity + a
+    # few voxels of displacement)
+    base = jnp.stack(
+        [jax.lax.broadcasted_iota(jnp.float32, shape, d) for d in range(3)],
+        axis=-1,
+    )
+    idx = base + 3.0 * jax.random.normal(k2, shape + (3,), jnp.float32)
+    return vol, idx
+
+
+vol, idx = _make_data(jax.random.PRNGKey(0))
+jax.block_until_ready((vol, idx))
+print("data ready", flush=True)
 
 
 def sync(x):
@@ -168,11 +188,72 @@ def zyxc1T(vol, idx_zyx, acc):
     return jnp.moveaxis(out, 0, -1).reshape(idx_zyx.shape[:-1] + (c,))
 
 
+def _shift_clamped(v, axis):
+    """v advanced one step along `axis` with edge clamp: out[i] = v[min(i+1, n-1)]."""
+    n = v.shape[axis]
+    head = lax.slice_in_dim(v, 1, n, axis=axis)
+    tail = lax.slice_in_dim(v, n - 1, n, axis=axis)
+    return jnp.concatenate([head, tail], axis=axis)
+
+
+def _pack(vol, axes):
+    """Concatenate clamped +1 shifts along `axes` into the channel dim.
+    After packing axes (2,) the lane order is [dx, c]; (1, 2) -> [dy, dx, c];
+    (0, 1, 2) -> [dz, dy, dx, c]."""
+    p = vol
+    for ax in reversed(axes):
+        p = jnp.concatenate([p, _shift_clamped(p, ax)], axis=-1)
+    return p
+
+
+def pack4(vol, idx_zyx, acc):
+    d, h, w, c = vol.shape
+    z0, y0, x0, fz, fy, fx = _starts_weights(idx_zyx, acc, d, h, w)
+    packed = _pack(vol, (2,)).reshape(d * h * w, 2 * c)
+    fz, fy, fx = fz[..., None], fy[..., None], fx[..., None]
+
+    def g(zi, yi):
+        win = jnp.take(packed, (zi * h + yi) * w + x0, axis=0)
+        return win[..., :c] * (1 - fx) + win[..., c:] * fx
+
+    c0 = g(z0, y0) * (1 - fy) + g(z0, y0 + 1) * fy
+    c1 = g(z0 + 1, y0) * (1 - fy) + g(z0 + 1, y0 + 1) * fy
+    return c0 * (1 - fz) + c1 * fz
+
+
+def pack8(vol, idx_zyx, acc):
+    d, h, w, c = vol.shape
+    z0, y0, x0, fz, fy, fx = _starts_weights(idx_zyx, acc, d, h, w)
+    packed = _pack(vol, (1, 2)).reshape(d * h * w, 4 * c)
+    fz, fy, fx = fz[..., None], fy[..., None], fx[..., None]
+
+    def g(zi):
+        win = jnp.take(packed, (zi * h + y0) * w + x0, axis=0)  # [dy, dx, c]
+        cy = win[..., : 2 * c] * (1 - fy) + win[..., 2 * c :] * fy  # -> [dx, c]
+        return cy[..., :c] * (1 - fx) + cy[..., c:] * fx
+
+    return g(z0) * (1 - fz) + g(z0 + 1) * fz
+
+
+def pack16(vol, idx_zyx, acc):
+    d, h, w, c = vol.shape
+    z0, y0, x0, fz, fy, fx = _starts_weights(idx_zyx, acc, d, h, w)
+    packed = _pack(vol, (0, 1, 2)).reshape(d * h * w, 8 * c)
+    fz, fy, fx = fz[..., None], fy[..., None], fx[..., None]
+    win = jnp.take(packed, (z0 * h + y0) * w + x0, axis=0)  # (..., 8C) [dz,dy,dx,c]
+    cz = win[..., : 4 * c] * (1 - fz) + win[..., 4 * c :] * fz
+    cy = cz[..., : 2 * c] * (1 - fy) + cz[..., 2 * c :] * fy
+    return cy[..., :c] * (1 - fx) + cy[..., c:] * fx
+
+
 VARIANTS = [
     ("flat8", flat8),
     ("xpair4T", xpair4T),
     ("yxc2T", yxc2T),
     ("zyxc1T", zyxc1T),
+    ("pack4", pack4),
+    ("pack8", pack8),
+    ("pack16", pack16),
 ]
 
 if __name__ == "__main__":
