@@ -111,7 +111,8 @@ class Segmenter3DInPatchClassWise(Segmenter):
         spec = spec.replace(**{k: v for k, v in setting.items() if k in
                                ("in_channels", "n_classes", "bias", "batchnorm")})
         dtype = jnp.bfloat16 if self.config.get("compute_dtype", "bfloat16") == "bfloat16" else jnp.float32
-        self.model = UNet3D(spec, compute_dtype=dtype)
+        self.model = UNet3D(spec, compute_dtype=dtype,
+                            conv_impl=self.config.get("conv_impl", "auto"))
         self.params, self.epoch, self.best_score = initialize_model(
             self.model, ckpoint_path=self.config.get("ckpoint_path")
         )

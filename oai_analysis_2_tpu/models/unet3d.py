@@ -167,6 +167,33 @@ def _init_bn(cout, dtype=jnp.float32):
 # -- primitive layers -------------------------------------------------------------
 
 
+def zstack_supported(x: jax.Array, p: dict, spec: "UNetSpec", train: bool) -> bool:
+    """Whether this conv should route to the Pallas z-stacked shift-GEMM
+    kernel (ops/pallas_conv.conv3d_zstack) instead of XLA's conv.
+
+    The kernel targets the segment stage's hot full-resolution 3x3x3 convs
+    (enc0b / dec{last}a / dec{last}b of the reference UNet, networks.py:
+    109-149) where XLA runs at ~15-31% MXU. It is inference-only (no vjp
+    rule), bf16-only, and needs enough spatial extent to amortize its z/y
+    halo overcompute — small/deep layers and training stay on XLA.
+    """
+    k = p["kernel"]
+    if train or spec.batchnorm or x.dtype != jnp.bfloat16:
+        return False
+    if k.shape[:3] != (3, 3, 3):
+        return False
+    cin, cout = int(k.shape[3]), int(k.shape[4])
+    if cin < 16 or cout > 128:  # degenerate K / wide-N deep layers
+        return False
+    b, d, h, w, _ = x.shape
+    if d < 8 or h < 8 or w < 128:
+        return False
+    if b * d * h * w < 2_000_000:  # full-res tiles only
+        return False
+    from oai_analysis_2_tpu.ops.pallas_conv import _pick_tiles
+    return _pick_tiles(d, h, w, cin, cout, False) is not None
+
+
 def conv3d(x: jax.Array, p: dict, padding="SAME", precision=None) -> jax.Array:
     k = p["kernel"].astype(x.dtype)
     # f32 accumulation is requested via preferred_element_type for f32 inputs;
@@ -232,8 +259,15 @@ def _bn_train(y: jax.Array, p: dict, eps=1e-5, momentum=0.1):
     return out, new_stats
 
 
-def _block(x, p, spec, up=False, train=False, stats_out=None, name=None, precision=None):
+def _block(x, p, spec, up=False, train=False, stats_out=None, name=None,
+           precision=None, conv_impl="xla"):
     """conv/upconv [+ BN] + ReLU — the reference's encoder()/decoder() helper."""
+    if (not up) and conv_impl == "pallas" and zstack_supported(x, p, spec, train):
+        from oai_analysis_2_tpu.ops.pallas_conv import conv3d_zstack
+        # bias + ReLU + cast fused into the kernel epilogue; bf16 out is the
+        # compute dtype the caller would cast to anyway
+        return conv3d_zstack(x, p["kernel"], p.get("bias"), relu=True,
+                             out_dtype=x.dtype)
     y = upconv2x(x, p, precision=precision) if up else conv3d(x, p, precision=precision)
     if spec.batchnorm:
         if train:
@@ -303,13 +337,28 @@ class UNet3D:
     x)` runs NDHWC -> NDHWC logits. All variants in NETWORK_SPECS share this
     implementation; the spec tables define the topology."""
 
-    def __init__(self, spec: UNetSpec, compute_dtype=jnp.float32, precision=None):
+    def __init__(self, spec: UNetSpec, compute_dtype=jnp.float32, precision=None,
+                 conv_impl: str = "auto"):
         """precision: lax.Precision for convs/matmuls. None = backend default
         (bf16 MXU passes on TPU — fastest); "highest" = full f32 (use for
-        bit-parity against reference checkpoints)."""
+        bit-parity against reference checkpoints).
+
+        conv_impl: "xla" (what "auto" currently resolves to) runs every
+        conv through lax.conv_general_dilated; "pallas" routes qualifying
+        full-resolution 3x3x3 inference convs to the z-stacked shift-GEMM
+        kernel (ops/pallas_conv.py, see zstack_supported). MEASURED
+        OUTCOME on v5e (tools/profile_pallas_conv.py, 2026-08): the
+        Pallas kernel is parity-correct at production slab shapes but
+        0.90-0.95x of XLA's conv — XLA's ~25% MFU on these shapes is not
+        scheduling waste the shift-GEMM can recover (its own 192-lane
+        dots run at ~53 TF/s too), so XLA stays the default and the
+        kernel remains an opt-in experiment."""
         self.spec = spec
         self.compute_dtype = compute_dtype
         self.precision = precision
+        if conv_impl == "auto":
+            conv_impl = "xla"
+        self.conv_impl = conv_impl
 
     # parameter construction ---------------------------------------------------
 
@@ -368,6 +417,7 @@ class UNet3D:
         stats_out: dict = {}
 
         prec = self.precision
+        impl = self.conv_impl
         skips = []
         # cast back to compute_dtype after EVERY block: _block outputs f32
         # (bias/BN/ReLU numerics), and a conv whose input arrives f32 runs a
@@ -375,9 +425,9 @@ class UNet3D:
         # every second encoder conv (the expensive full-resolution ones)
         # silently compute in f32 (~2-4x the bf16 pass)
         for li in range(len(spec.enc)):
-            x = _block(x, params[f"enc{li}a"], spec, train=train, stats_out=stats_out, name=f"enc{li}a", precision=prec)
+            x = _block(x, params[f"enc{li}a"], spec, train=train, stats_out=stats_out, name=f"enc{li}a", precision=prec, conv_impl=impl)
             x = x.astype(self.compute_dtype)
-            x = _block(x, params[f"enc{li}b"], spec, train=train, stats_out=stats_out, name=f"enc{li}b", precision=prec)
+            x = _block(x, params[f"enc{li}b"], spec, train=train, stats_out=stats_out, name=f"enc{li}b", precision=prec, conv_impl=impl)
             x = x.astype(self.compute_dtype)
             if li < len(spec.enc) - 1:
                 skips.append(x)
@@ -387,9 +437,9 @@ class UNet3D:
             up = _block(x, params[f"dec{li}up"], spec, up=True, train=train, stats_out=stats_out, name=f"dec{li}up", precision=prec)
             skip = skips[len(skips) - 1 - li]
             x = jnp.concatenate([up.astype(self.compute_dtype), skip.astype(self.compute_dtype)], axis=-1)
-            x = _block(x, params[f"dec{li}a"], spec, train=train, stats_out=stats_out, name=f"dec{li}a", precision=prec)
+            x = _block(x, params[f"dec{li}a"], spec, train=train, stats_out=stats_out, name=f"dec{li}a", precision=prec, conv_impl=impl)
             x = x.astype(self.compute_dtype)
-            x = _block(x, params[f"dec{li}b"], spec, train=train, stats_out=stats_out, name=f"dec{li}b", precision=prec)
+            x = _block(x, params[f"dec{li}b"], spec, train=train, stats_out=stats_out, name=f"dec{li}b", precision=prec, conv_impl=impl)
             x = x.astype(self.compute_dtype)
 
         if spec.classwise_heads:

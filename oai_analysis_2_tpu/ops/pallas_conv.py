@@ -19,19 +19,34 @@ This kernel reformulates the conv as a "z-stacked shift-GEMM":
     (lane) axis — im2col restricted to the cheap directions — so K is a
     multiple of 128 even for 64/32-channel layers;
   * any remaining taps (kx) become a short unrolled accumulation loop;
-  * blocks stream HBM->VMEM once via Pallas Element windows with halo
-    padding (the SAME-pad zeros come from the window's pad_low/pad_high,
-    not an XLA pad copy), and each output voxel is written exactly once,
-    with bias + ReLU + dtype cast fused in the epilogue.
+  * each output voxel is computed and written exactly once, with bias +
+    ReLU + dtype cast fused in the epilogue.
 
-FLOP overcount vs the plain conv: the z halo rows ((TZ+2)/TZ) — 12.5%
-at the default TZ=16. Everything else is the conv's own arithmetic.
+Hardware-lowering constraints discovered on v5e (this is the third
+formulation; tools/profile_pallas_conv.py):
+  * Mosaic's "last two block dims (8,128)-divisible or equal to the
+    array dim" rule rejects x-halo'd windows (tx+2 on the second-minor
+    axis) for every tile size dividing production widths — so the x
+    axis is NOT blocked: each block spans the full (padded) W extent;
+  * Element-window low padding ("pad_low") is unimplemented in this
+    libtpu's Mosaic ("Low padding not supported yet") — so the SAME-pad
+    halo comes from ONE XLA zero-pad of the activation (z,y,x each +1
+    both sides, a bandwidth-bound copy: ~8 ms on the largest 3.2 GB
+    slab activation) and the grid reads overlapping UNPADDED Element
+    windows of the padded array. No in-kernel edge handling remains;
+  * the scoped-VMEM stack limit is 16 MB and counts every live
+    temporary (double-buffered input window, the im2col concat, the
+    f32 dot results) — `_pick_tiles` sizes (tz, ty) against an explicit
+    byte model instead of guessing.
+
+FLOP overcount vs the plain conv: the z halo rows ((TZ+2)/TZ) — 25%
+at TZ=8, 50% at TZ=4. Everything else is the conv's own arithmetic.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -47,55 +62,56 @@ def _pick_tile(n: int, target: int) -> int:
     return t
 
 
-def _kernel(x_ref, w_ref, b_ref, o_ref, y_ref, *, tz, ty, tx, cin, cout,
-            stack_x, use_bias, relu, out_dtype):
-    """One (TZ, TY, TX) output block.
+def _vmem_estimate(tz, ty, w, cin, cout, stack_x) -> int:
+    """Bytes of scoped VMEM the kernel needs at (tz, ty): double-buffered
+    input window + double-buffered output block + the im2col concat (bf16)
+    + the f32 dot result + the f32 scratch accumulator + the weights.
+    Validated against Mosaic's reported stack sizes on v5e (the no-scratch
+    value-accumulation variant blew this model up 2.3x — unrolled values
+    all stay live; the scratch-ref variant tracks it within ~15%)."""
+    k = (9 if stack_x else 3) * cin
+    m = (tz + 2) * ty * w
+    in_block = 2 * (tz + 2) * (ty + 2) * (w + 2) * cin * 2
+    out_block = 2 * tz * ty * w * cout * 2
+    a_tmp = m * k * 2
+    dot_tmp = m * 3 * cout * 4
+    scratch = m * 3 * cout * 4
+    weights = (1 if stack_x else 3) * k * 3 * cout * 2
+    return in_block + out_block + a_tmp + dot_tmp + scratch + weights
 
-    x_ref: (TZ+2, TY+2, TX+2, Cin) halo'd input window (bf16)
+
+def _pick_tiles(d, h, w, cin, cout, stack_x,
+                budget=13 * 2**20) -> Optional[Tuple[int, int]]:
+    """Largest (tz, ty) whose VMEM estimate fits the budget; z-halo
+    overcompute prefers big tz, so search tz descending and maximize ty."""
+    for tz_target in (16, 8, 4, 2):
+        tz = _pick_tile(d, tz_target)
+        best_ty = None
+        for ty_target in (16, 8, 4, 2, 1):
+            ty = _pick_tile(h, ty_target)
+            if _vmem_estimate(tz, ty, w, cin, cout, stack_x) <= budget:
+                best_ty = ty
+                break
+        if best_ty is not None:
+            return tz, best_ty
+    return None
+
+
+def _kernel(x_ref, w_ref, b_ref, o_ref, y_ref, *, tz, ty, w, cout,
+            stack_x, use_bias, relu, out_dtype):
+    """One (TZ, TY, W) output block (x spans the whole array).
+
+    x_ref: (TZ+2, TY+2, W+2, Cin) window of the zero-padded input (bf16)
     w_ref: (n_dx, K, 3*Cout) rearranged weights — see conv3d_zstack
     b_ref: (1, Cout) bias (zeros when use_bias=False)
-    o_ref: (TZ, TY, TX, Cout)
-    y_ref: (TZ+2, TY, TX, 3*Cout) f32 scratch accumulator
+    o_ref: (TZ, TY, W, Cout)
+    y_ref: (TZ+2, TY, W, 3*Cout) f32 scratch accumulator — accumulating
+        into a ref (not values) keeps exactly one f32 buffer live; the
+        unrolled value form doubled Mosaic's stack use and OOMed VMEM.
     """
-    # The Element windows reach 1 element past the array on every side; the
-    # out-of-bounds positions are NOT zero-filled (NaN in interpret mode,
-    # garbage on hardware) — zero the SAME-padding halo explicitly wherever
-    # this block touches an array edge.
-    iz, iy, ix = pl.program_id(1), pl.program_id(2), pl.program_id(3)
-    nz, ny, nx = pl.num_programs(1), pl.num_programs(2), pl.num_programs(3)
-    w = tx
-    zero_zslab = jnp.zeros((1, ty + 2, tx + 2, cin), x_ref.dtype)
-    zero_yrow = jnp.zeros((tz + 2, 1, tx + 2, cin), x_ref.dtype)
-    zero_xcol = jnp.zeros((tz + 2, ty + 2, 1, cin), x_ref.dtype)
-
-    @pl.when(iz == 0)
-    def _():
-        x_ref[0:1] = zero_zslab
-
-    @pl.when(iz == nz - 1)
-    def _():
-        x_ref[tz + 1:tz + 2] = zero_zslab
-
-    @pl.when(iy == 0)
-    def _():
-        x_ref[:, 0:1] = zero_yrow
-
-    @pl.when(iy == ny - 1)
-    def _():
-        x_ref[:, ty + 1:ty + 2] = zero_yrow
-
-    @pl.when(ix == 0)
-    def _():
-        x_ref[:, :, 0:1] = zero_xcol
-
-    @pl.when(ix == nx - 1)
-    def _():
-        x_ref[:, :, tx + 1:tx + 2] = zero_xcol
-
-    xv = x_ref[...]  # (TZ+2, TY+2, TX+2, Cin)
 
     def view(dy, dx):
-        return xv[:, dy:dy + ty, dx:dx + w, :]
+        return x_ref[:, dy:dy + ty, dx:dx + w, :]
 
     m = (tz + 2) * ty * w
     n_dx = 1 if stack_x else 3
@@ -117,7 +133,7 @@ def _kernel(x_ref, w_ref, b_ref, o_ref, y_ref, *, tz, ty, tx, cin, cout,
             y_ref[...] += y
 
     yv = y_ref[...]
-    # out[z] = sum_dz in[z+dz] @ W[dz], dz-th N chunk of y, rows shifted by dz
+    # out[z] = sum_dz in[z+dz] @ W[dz], dz-th N chunk of yv, rows shifted by dz
     out = (yv[0:tz, :, :, 0:cout]
            + yv[1:tz + 1, :, :, cout:2 * cout]
            + yv[2:tz + 2, :, :, 2 * cout:3 * cout])
@@ -130,8 +146,7 @@ def _kernel(x_ref, w_ref, b_ref, o_ref, y_ref, *, tz, ty, tx, cin, cout,
 
 @functools.partial(
     jax.jit,
-    static_argnames=(
-        "relu", "out_dtype", "tz", "ty", "tx", "stack_x", "interpret"))
+    static_argnames=("relu", "out_dtype", "tz", "ty", "stack_x", "interpret"))
 def conv3d_zstack(
     x: jax.Array,
     kernel: jax.Array,
@@ -141,7 +156,6 @@ def conv3d_zstack(
     out_dtype=jnp.bfloat16,
     tz: Optional[int] = None,
     ty: Optional[int] = None,
-    tx: Optional[int] = None,
     stack_x: Optional[bool] = None,
     interpret: bool = False,
 ) -> jax.Array:
@@ -151,18 +165,29 @@ def conv3d_zstack(
     Optionally fuses bias add + ReLU + output cast. Returns (B, D, H, W, Cout)
     in out_dtype. Numerics: bf16 operands, f32 accumulation — same contract as
     models/unet3d.conv3d on bf16 inputs.
+
+    Raises ValueError when no (tz, ty) tiling fits the VMEM budget (callers
+    fall back to the XLA conv; see models/unet3d.zstack_supported).
     """
     b_, d, h, w, cin = x.shape
     kd, kh, kw, kcin, cout = kernel.shape
     assert (kd, kh, kw) == (3, 3, 3) and kcin == cin, (kernel.shape, cin)
     if stack_x is None:
-        stack_x = cin < 64  # K = 9*Cin only pays when channels are narrow
-    if tz is None:
-        tz = _pick_tile(d, 16)
-    if ty is None:
-        ty = _pick_tile(h, 8 if cin >= 128 else 16)
-    if tx is None:
-        tx = _pick_tile(w, 128)
+        # K = 9*Cin would only pay when channels are narrow, but the
+        # lane-axis concat of 9 sub-128-lane views does not lower on the
+        # current Mosaic (tools/profile_pallas_conv.py) — default off.
+        stack_x = False
+    if tz is None or ty is None:
+        picked = _pick_tiles(d, h, w, cin, cout, stack_x)
+        if picked is None:
+            raise ValueError(
+                f"conv3d_zstack: no tiling fits VMEM for shape {x.shape} "
+                f"cout={cout} stack_x={stack_x}")
+        tz = tz if tz is not None else picked[0]
+        ty = ty if ty is not None else picked[1]
+
+    # SAME-pad once in XLA; the grid reads overlapping windows of this.
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
 
     # Rearrange weights: (3,3,3,Cin,Cout) -> (n_dx, K, 3*Cout); dz taps on N
     # (chunk dz of the last axis), (ky[,kx],cin) on K in the same order the
@@ -178,24 +203,22 @@ def conv3d_zstack(
             if use_bias else jnp.zeros((1, cout), jnp.float32))
 
     kern = functools.partial(
-        _kernel, tz=tz, ty=ty, tx=tx, cin=cin, cout=cout, stack_x=stack_x,
+        _kernel, tz=tz, ty=ty, w=w, cout=cout, stack_x=stack_x,
         use_bias=use_bias, relu=relu, out_dtype=out_dtype)
 
     in_specs = [
         pl.BlockSpec(
-            (pl.Squeezed(), pl.Element(tz + 2, (1, 1)),
-             pl.Element(ty + 2, (1, 1)), pl.Element(tx + 2, (1, 1)),
+            (pl.Squeezed(), pl.Element(tz + 2, (0, 0)),
+             pl.Element(ty + 2, (0, 0)), pl.Element(w + 2, (0, 0)),
              pl.Element(cin, (0, 0))),
-            # Element index_map returns the UNPADDED start; pallas subtracts
-            # pad_low to place the halo (verified against interpret mode)
-            lambda b, iz, iy, ix: (b, iz * tz, iy * ty, ix * tx, 0),
+            lambda b, iz, iy: (b, iz * tz, iy * ty, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         pl.BlockSpec(memory_space=pltpu.VMEM),  # weights, whole
         pl.BlockSpec(memory_space=pltpu.VMEM),  # bias
     ]
     out_specs = pl.BlockSpec(
-        (None, tz, ty, tx, cout), lambda b, iz, iy, ix: (b, iz, iy, ix, 0),
+        (None, tz, ty, w, cout), lambda b, iz, iy: (b, iz, iy, 0, 0),
         memory_space=pltpu.VMEM,
     )
     # matmul work incl. the z-halo overcompute: 27*Cin*Cout MACs per
@@ -204,12 +227,12 @@ def conv3d_zstack(
     return pl.pallas_call(
         kern,
         interpret=interpret,
-        grid=(b_, d // tz, h // ty, w // tx),
+        grid=(b_, d // tz, h // ty),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=jax.ShapeDtypeStruct((b_, d, h, w, cout), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((tz + 2, ty, tx, 3 * cout), jnp.float32),
+            pltpu.VMEM((tz + 2, ty, w, 3 * cout), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=flops,
@@ -217,4 +240,4 @@ def conv3d_zstack(
             + b_ * d * h * w * cout * jnp.dtype(out_dtype).itemsize,
             transcendentals=0,
         ),
-    )(x, km, bmat)
+    )(xp, km, bmat)

@@ -28,7 +28,9 @@ def timed(name, fn, *args):
     @jax.jit
     def loop(*a):
         def body(_, acc):
-            y = fn(a[0] + acc, *a[1:])
+            # keep the perturbed input in the ORIGINAL dtype — bf16 + f32
+            # scalar promotes to f32, silently doubling every buffer
+            y = fn((a[0] + acc).astype(a[0].dtype), *a[1:])
             return 1e-12 * jnp.mean(y).astype(jnp.float32)
 
         return lax.fori_loop(0, REPEATS, body, jnp.zeros((), jnp.float32))
@@ -46,17 +48,18 @@ def timed(name, fn, *args):
 
 
 CASES = [
-    # (label, shape, cout, [pallas tile configs (tz, ty, tx, stack_x)])
+    # (label, shape, cout, [pallas tile configs (tz, ty, stack_x);
+    #  None = auto-picked tiles])
     ("slab enc0b  32->64",  (1, 48, 416, 416, 32), 64,
-     [(16, 8, 104, True), (8, 8, 208, True), (16, 16, 104, True)]),
+     [(None, None, False), (8, 1, False), (None, None, True)]),
     ("slab dec2a 192->64",  (1, 48, 416, 416, 192), 64,
-     [(8, 4, 104, False), (16, 4, 104, False), (8, 8, 104, False)]),
+     [(None, None, False), (4, 1, False), (2, 1, False)]),
     ("slab dec2b  64->64",  (1, 48, 416, 416, 64), 64,
-     [(16, 8, 104, True), (8, 8, 104, False), (16, 4, 208, True)]),
+     [(None, None, False), (8, 1, False), (4, 2, False)]),
     ("tile dec2a 192->64",  (8, 32, 128, 128, 192), 64,
-     [(8, 4, 128, False), (16, 4, 128, False)]),
+     [(None, None, False), (8, 2, False), (4, 4, False)]),
     ("tile dec2b  64->64",  (8, 32, 128, 128, 64), 64,
-     [(16, 8, 128, True), (16, 8, 128, False)]),
+     [(None, None, False), (8, 4, False), (8, 2, False)]),
 ]
 
 only = sys.argv[1] if len(sys.argv) > 1 else None
@@ -73,9 +76,9 @@ for label, shape, cout, configs in CASES:
     dt_x = timed(f"{label} XLA conv3d", lambda v, p: conv3d(v, {"kernel": p}).astype(jnp.bfloat16), x, k)
     # on-chip parity vs the XLA conv (bf16 operands both ways)
     try:
-        tz0, ty0, tx0, sx0 = configs[0]
+        tz0, ty0, sx0 = configs[0]
         got = conv3d_zstack(x, k, out_dtype=jnp.float32,
-                            tz=tz0, ty=ty0, tx=tx0, stack_x=sx0)
+                            tz=tz0, ty=ty0, stack_x=sx0)
         want = conv3d(x, {"kernel": k})
         err = float(jnp.max(jnp.abs(got - want)))
         scale = float(jnp.max(jnp.abs(want)))
@@ -83,15 +86,17 @@ for label, shape, cout, configs in CASES:
     except Exception as e:  # noqa: BLE001
         print(f"{label}: parity check FAILED ({str(e)[:160]})", flush=True)
     best = None
-    for tz, ty, tx, stx in configs:
+    for tz, ty, stx in configs:
         dt = timed(
-            f"{label} pallas tz{tz} ty{ty} tx{tx} sx{int(stx)}",
-            lambda v, p, tz=tz, ty=ty, tx=tx, stx=stx: conv3d_zstack(
+            f"{label} pallas tz{tz} ty{ty} sx{int(stx)}",
+            lambda v, p, tz=tz, ty=ty, stx=stx: conv3d_zstack(
                 v, p, relu=False, out_dtype=jnp.bfloat16,
-                tz=tz, ty=ty, tx=tx, stack_x=stx),
+                tz=tz, ty=ty, stack_x=stx),
             x, k)
         if dt is not None and (best is None or dt < best):
             best = dt
     if dt_x and best:
         print(f"{label}: SPEEDUP x{dt_x/best:.2f}", flush=True)
+    del x, k
+    import gc; gc.collect()
 print("PROFILE_PALLAS_CONV_DONE")
