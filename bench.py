@@ -390,10 +390,14 @@ def main():
         # (distance_to_surface_async(device=...); dryrun-validated) — divide
         # like the smooth substage
         batch8_distance = t8.get("thickness_distance", 0.0)
+        # marching-cubes count+extract dispatch per knee to their own chip
+        # (marching_cubes_multi(devices=...); dryrun-validated) — divide
+        # like smooth/distance
+        batch8_mc = t8.get("thickness_mc", 0.0)
         v5e8_thickness = (
             batch8_thickness
-            - batch8_smooth - batch8_distance
-            + (batch8_smooth + batch8_distance) / 8.0
+            - batch8_smooth - batch8_distance - batch8_mc
+            + (batch8_smooth + batch8_distance + batch8_mc) / 8.0
         )
         v5e8_seconds_per_batch = batch8_device / 8.0 + v5e8_thickness
         projected_v5e8 = 8 * 3600.0 / max(v5e8_seconds_per_batch, 1e-9)
@@ -406,6 +410,7 @@ def main():
                 "batch8_thickness_seconds": round(batch8_thickness, 2),
                 "batch8_thickness_smooth_seconds": round(batch8_smooth, 2),
                 "batch8_thickness_distance_seconds": round(batch8_distance, 2),
+                "batch8_thickness_mc_seconds": round(batch8_mc, 2),
                 "projected_v5e8_thickness_seconds": round(v5e8_thickness, 2),
                 "projected_v5e8_knees_per_hour": round(projected_v5e8, 1),
                 "projected_v5e8_pipelined_knees_per_hour": round(
@@ -417,8 +422,9 @@ def main():
                     "with no cross-chip collectives (dryrun-validated), so "
                     "per-batch time there = device_batch/8 + thickness, where "
                     "thickness charges the grouped per-knee Laplacian "
-                    "smoothing (sharded 1 knee/chip) and the per-knee-placed "
-                    "distance kernels (both dryrun-validated) at 1/8 and the "
+                    "smoothing (sharded 1 knee/chip), the per-knee-placed "
+                    "distance kernels, and the per-knee-placed marching-cubes "
+                    "passes (all dryrun-validated) at 1/8 and the "
                     "remaining substages serially; the "
                     "pipelined figure additionally overlaps batch k's "
                     "thickness with batch k+1's device stages (run_batches; "

@@ -298,10 +298,19 @@ def _marching_cubes_device(vol, level: float, spacing) -> Mesh:
     return _extract_with_counts(vol, level, spacing, counts)
 
 
-def marching_cubes_multi(volumes, level: float = 0.5, spacing=(1.0, 1.0, 1.0)):
+def marching_cubes_multi(volumes, level: float = 0.5, spacing=(1.0, 1.0, 1.0),
+                         devices=None):
     """Extract iso-surfaces of several same-shape [x,y,z] device volumes with
     ONE count pass + host sync for the whole set (the per-tissue sync costs a
-    tunnel round trip each; get_thickness_meshes runs FC+TC together)."""
+    tunnel round trip each; get_thickness_meshes runs FC+TC together).
+
+    `devices` (optional, one jax.Device per volume) places each volume's
+    count + extract passes on that device via committed-input dispatch —
+    with one device per knee the MC substage runs knee-parallel across a
+    chip mesh, like the grouped smoothing and the per-knee distance
+    kernels. When the device set is actually distinct the results are
+    pulled per array after every dispatch is in flight (local chip pulls,
+    not the batched-tunnel packing the single-device path needs)."""
     import jax
     import jax.numpy as jnp
 
@@ -315,6 +324,32 @@ def marching_cubes_multi(volumes, level: float = 0.5, spacing=(1.0, 1.0, 1.0)):
         return [marching_cubes(v, level, spacing) for v in volumes]
     count, _, _ = _device_fns()
     vols32 = [v.astype("float32") for v in volumes]
+    if devices is not None:
+        vols32 = [jax.device_put(v, d) for v, d in zip(vols32, devices)]
+    if devices is not None and len({repr(d) for d in devices}) > 1:
+        # knee-parallel: dispatch every count, pull each row; dispatch every
+        # extract, pull each result — all dispatches precede any pull, so
+        # the chips compute concurrently
+        counts_dev = [count(v, jnp.float32(level)) for v in vols32]
+        counts = [np.asarray(c) for c in counts_dev]
+        dispatched = [
+            _extract_dispatch(v, level, spacing, counts[i])
+            for i, v in enumerate(vols32)
+        ]
+        out = []
+        for d in dispatched:
+            if d is None:
+                out.append(
+                    Mesh(np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32))
+                )
+                continue
+            verts, faces, n_tris, offset = d
+            nf = int(np.asarray(n_tris))
+            out.append(
+                Mesh(np.asarray(verts) + offset,
+                     np.asarray(faces[:nf], np.int32))
+            )
+        return out
     # per-volume count dispatch + ONE packed pull of the (T, 9) scalar rows:
     # stacking the volumes themselves for a batched count doubled the tissue
     # set's HBM footprint (~1.5 GB extra at B=8) right when run_batches

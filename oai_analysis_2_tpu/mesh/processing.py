@@ -147,6 +147,7 @@ def get_thickness_meshes(
     group_size: int = 0,
     smooth_sharding=None,
     distance_devices=None,
+    mc_devices=None,
     timings_out: Optional[dict] = None,
 ):
     """Batched variant for multiple tissues (FC + TC of one or many knees):
@@ -162,7 +163,8 @@ def get_thickness_meshes(
     loop. `distance_devices` (a list of jax.Device, one per tissue) places
     each tissue's distance kernels on that device — with one device per
     knee the distance substage runs knee-parallel across the mesh like the
-    grouped smoothing. `timings_out` (a dict) receives per-substage wall
+    grouped smoothing. `mc_devices` (same shape) does the same for the
+    marching-cubes count+extract passes. `timings_out` (a dict) receives per-substage wall
     seconds (mc/components/smooth/split/distance) — bench uses the smooth
     and distance shares to project their division across a device mesh.
     Returns [(inner, outer), ...].
@@ -194,8 +196,10 @@ def get_thickness_meshes(
     if method == "mc" and len(set(v.shape for v in vols)) == 1 and len(
         set(spacings)
     ) == 1:
-        # one count pass + ONE host sync for the whole tissue set
-        extracted = marching_cubes_multi(vols, level=level, spacing=spacings[0])
+        # one count pass + ONE host sync for the whole tissue set (or
+        # knee-parallel dispatch when mc_devices spreads over a chip mesh)
+        extracted = marching_cubes_multi(
+            vols, level=level, spacing=spacings[0], devices=mc_devices)
     else:
         extracted = [
             _extract(v, level, sp, method) for v, sp in zip(vols, spacings)

@@ -482,6 +482,9 @@ class BatchKneePipeline:
                     group_size=2,
                     smooth_sharding=smooth_sharding,
                     distance_devices=distance_devices,
+                    # knee i's MC passes run on chip i, like its distance
+                    # kernels — the extraction substage sharded per knee
+                    mc_devices=distance_devices,
                     timings_out=sub,
                 )
             # surface the substage split: "smooth" is the grouped vmapped

@@ -346,6 +346,32 @@ class TestBatchedThickness:
             np.testing.assert_array_equal(bi.vertices, si.vertices)
             np.testing.assert_array_equal(bo.faces, so.faces)
 
+    def test_marching_cubes_multi_device_placement(self):
+        """marching_cubes_multi(devices=...) (per-knee chip placement in the
+        cohort batch) must produce the same meshes as the packed
+        single-device path, including empty maps."""
+        import jax
+        import jax.numpy as jnp
+
+        from oai_analysis_2_tpu.mesh.marching_cubes import marching_cubes_multi
+
+        vols_np = [
+            _ball_volume(24, r=8, center=(12, 12, 12)),
+            _ball_volume(24, r=6, center=(10, 12, 14)),
+            np.zeros((24, 24, 24), np.float32),
+            _ball_volume(24, r=9, center=(12, 10, 12)),
+        ]
+        vols = [jnp.asarray(v) for v in vols_np]
+        want = marching_cubes_multi(vols, level=0.5, spacing=(0.7, 1.0, 1.3))
+        devs = [jax.devices()[i % min(4, len(jax.devices()))] for i in range(4)]
+        got = marching_cubes_multi(
+            vols, level=0.5, spacing=(0.7, 1.0, 1.3), devices=devs)
+        assert len(got) == len(want) == 4
+        assert got[2].n_points == 0
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(g.vertices, w.vertices, atol=1e-5)
+            np.testing.assert_array_equal(g.faces, w.faces)
+
     def test_grouped_smoothing_matches_individual(self):
         """smooth_mesh_groups (the vmapped per-knee stacked loop, sharded
         over the data axis in the cohort batch) must match per-mesh
